@@ -1,0 +1,144 @@
+"""Config schema and loader.
+
+Mirrors the reference's ``config.json`` with its three sections and per-key
+silent defaults (reference: prebuild/obj_raytracer/Context.cpp:15-165,
+config.json:1-61). Unknown keys are ignored; missing keys fall back to the
+same defaults the reference uses.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from . import constants
+
+
+@dataclass
+class MaterialSpec:
+    """Named material absorption (reference: Context.cpp:146-163)."""
+
+    name: str
+    mat_absorption: float
+
+
+@dataclass
+class RendererParams:
+    """``renderer_parameters`` section (reference: Context.cpp:17-61)."""
+
+    initial_volume: float = 1.0
+    ir_length_in_seconds: int = 2
+    width: int = 1366
+    height: int = 768
+    write_first_ir_to_file: bool = False
+    write_first_output_to_file: bool = False
+    # The reference round()s both thresholds on load (Context.cpp:55-61).
+    re_render_distance_threshold: float = 3.0
+    re_render_angle_threshold: float = 5.0
+
+
+@dataclass
+class SceneParams:
+    """``scene_parameters`` section (reference: Context.cpp:63-110)."""
+
+    mono: bool = False
+    # Empty audio path == live-input mode (reference: Context.cpp:220-223).
+    audio_file_path: str = ""
+    scene_file_path: str = "assets/models/1D_U.obj"
+    materials_file_path: str = ""
+    initial_receiver_pos: tuple[float, float, float] = (-2.5, 10.0, 0.0)
+    initial_emitter_pos: tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclass
+class PathtracerParams:
+    """``pathtracer_parameters`` section (reference: Context.cpp:112-165).
+
+    ``rays`` is kept as a 3-tuple for config parity with the reference's 3-D
+    launch grid; the tracer flattens it to ``n_rays = x*y*z``.
+    """
+
+    base_power: float = 100.0
+    rays: tuple[int, int, int] = (100, 100, 100)
+    ray_energy_threshold: float = 0.0
+    ray_max_bounces: int = 10
+    # NOTE: the reference round()s this to 0/1 on load (Context.cpp:143-145),
+    # a quirk we deliberately do NOT copy — the configured float is used as-is,
+    # which is what the device code expects (devicePrograms.cu:126).
+    hrtf_absorption_rate: float = constants.DEFAULT_HRTF_ABSORPTION
+    materials: list[MaterialSpec] = field(default_factory=list)
+
+    @property
+    def n_rays(self) -> int:
+        x, y, z = self.rays
+        return int(x) * int(y) * int(z)
+
+
+@dataclass
+class Config:
+    renderer: RendererParams = field(default_factory=RendererParams)
+    scene: SceneParams = field(default_factory=SceneParams)
+    pathtracer: PathtracerParams = field(default_factory=PathtracerParams)
+
+    @property
+    def is_live(self) -> bool:
+        return not self.scene.audio_file_path
+
+
+def _vec3(obj: Any, default: tuple[float, float, float]) -> tuple[float, float, float]:
+    if isinstance(obj, dict) and all(k in obj for k in ("x", "y", "z")):
+        return (float(obj["x"]), float(obj["y"]), float(obj["z"]))
+    if isinstance(obj, (list, tuple)) and len(obj) == 3:
+        return tuple(float(v) for v in obj)
+    return default
+
+
+def parse_config(data: dict) -> Config:
+    """Build a :class:`Config` from a parsed JSON dict with reference defaults."""
+    cfg = Config()
+
+    rp = data.get("renderer_parameters") or {}
+    r = cfg.renderer
+    r.initial_volume = float(rp.get("initial_volume", r.initial_volume))
+    r.ir_length_in_seconds = int(round(float(rp.get("ir_length_in_seconds", r.ir_length_in_seconds))))
+    r.width = int(round(float(rp.get("width", r.width))))
+    r.height = int(round(float(rp.get("height", r.height))))
+    r.write_first_ir_to_file = bool(rp.get("write_first_ir_to_file", r.write_first_ir_to_file))
+    r.write_first_output_to_file = bool(rp.get("write_first_output_to_file", r.write_first_output_to_file))
+    # round() on load mirrors Context.cpp:55-61.
+    r.re_render_distance_threshold = float(round(float(rp.get("re_render_distance_threshold", r.re_render_distance_threshold))))
+    r.re_render_angle_threshold = float(round(float(rp.get("re_render_angle_threshold", r.re_render_angle_threshold))))
+
+    sp = data.get("scene_parameters") or {}
+    s = cfg.scene
+    s.mono = bool(sp.get("mono", s.mono))
+    s.audio_file_path = str(sp.get("audio_file_path", s.audio_file_path))
+    s.scene_file_path = str(sp.get("scene_file_path", s.scene_file_path))
+    s.materials_file_path = str(sp.get("materials_file_path", s.materials_file_path))
+    s.initial_receiver_pos = _vec3(sp.get("initial_receiver_pos"), s.initial_receiver_pos)
+    s.initial_emitter_pos = _vec3(sp.get("initial_emitter_pos"), s.initial_emitter_pos)
+
+    pp = data.get("pathtracer_parameters") or {}
+    p = cfg.pathtracer
+    p.base_power = float(pp.get("base_power", p.base_power))
+    rays = pp.get("rays")
+    if isinstance(rays, dict) and all(k in rays for k in ("x", "y", "z")):
+        p.rays = (int(rays["x"]), int(rays["y"]), int(rays["z"]))
+    p.ray_energy_threshold = float(pp.get("ray_energy_threshold", p.ray_energy_threshold))
+    p.ray_max_bounces = int(round(float(pp.get("ray_max_bounces", p.ray_max_bounces))))
+    p.hrtf_absorption_rate = float(pp.get("hrtf_absorption_rate", p.hrtf_absorption_rate))
+    mats = pp.get("materials")
+    if isinstance(mats, list):
+        p.materials = [
+            MaterialSpec(name=str(m["name"]), mat_absorption=float(m["mat_absorption"]))
+            for m in mats
+            if isinstance(m, dict) and "name" in m and "mat_absorption" in m
+        ]
+    return cfg
+
+
+def load_config(path: str | Path) -> Config:
+    """Load and parse a config.json file."""
+    with open(path, "r", encoding="utf-8") as f:
+        return parse_config(json.load(f))

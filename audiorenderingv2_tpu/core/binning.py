@@ -1,0 +1,72 @@
+"""IR histogram accumulation without atomics.
+
+The reference resolves write conflicts on the IR arrays with device-wide
+``atomicAdd`` (devicePrograms.cu:135-166). TPUs have no atomics and XLA's
+scatter-add serializes on duplicate indices, so the histogram here is built
+with a sort-based, gather-only reduction:
+
+  1. sort (bin, weight) event pairs by bin            — O(E log^2 E) on the VPU
+  2. inclusive prefix-sum of the sorted weights       — O(E)
+  3. per-bin boundaries via vectorized binary search  — O(B log E), gathers only
+  4. histogram[b] = cumsum[end_b] - cumsum[start_b]
+
+Every step has a defined VJP (sort_key_val permutes, cumsum and gather are
+linear), so d(hist)/d(weights) exists — this is what makes the IR
+differentiable w.r.t. ray energies, and (with soft binning, see
+``soft_deposit``) w.r.t. arrival delays too. Events with bin >= n_bins are
+sorted past the last boundary and silently dropped, mirroring the reference's
+``array_pos < ir_length`` guard (devicePrograms.cu:133).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def histogram_sum(bins: jax.Array, weights: jax.Array, n_bins: int) -> jax.Array:
+    """Sum ``weights`` into ``n_bins`` buckets keyed by int32 ``bins``.
+
+    bins/weights may have any (equal) shape; they are flattened. Entries with
+    bin < 0 or bin >= n_bins are dropped. Returns float32 [n_bins].
+    """
+    bins = bins.reshape(-1)
+    weights = weights.reshape(-1).astype(jnp.float32)
+    # Out-of-range events go to a virtual overflow bucket past the last edge.
+    oob = (bins < 0) | (bins >= n_bins)
+    bins = jnp.where(oob, n_bins, bins).astype(jnp.int32)
+
+    sorted_bins, sorted_w = jax.lax.sort_key_val(bins, weights)
+    csum = jnp.cumsum(sorted_w)
+    csum = jnp.concatenate([jnp.zeros((1,), jnp.float32), csum])
+    # ends[b] = number of events with bin <= b; starts are the previous ends.
+    edges = jnp.arange(n_bins, dtype=jnp.int32)
+    ends = jnp.searchsorted(sorted_bins, edges, side="right").astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    return csum[ends] - csum[starts]
+
+
+def hard_deposit(bin_f: jax.Array, weight: jax.Array, n_bins: int):
+    """Reference-parity binning: bin = round(t * sr) (devicePrograms.cu:132).
+
+    Returns (bins [E, 1] int32, weights [E, 1]).
+    """
+    b = jnp.round(bin_f).astype(jnp.int32)
+    b = jnp.where(weight != 0.0, b, n_bins)  # inactive events -> overflow
+    return b[..., None], weight[..., None]
+
+
+def soft_deposit(bin_f: jax.Array, weight: jax.Array, n_bins: int):
+    """Differentiable binning: linear interpolation between the two nearest
+    bins, so d(hist)/d(bin_f) — and hence d(IR)/d(path length) — exists.
+
+    Returns (bins [E, 2] int32, weights [E, 2]).
+    """
+    b0 = jnp.floor(bin_f)
+    frac = bin_f - b0
+    b0i = b0.astype(jnp.int32)
+    active = weight != 0.0
+    bins = jnp.stack(
+        [jnp.where(active, b0i, n_bins), jnp.where(active, b0i + 1, n_bins)], axis=-1
+    )
+    ws = jnp.stack([weight * (1.0 - frac), weight * frac], axis=-1)
+    return bins, ws

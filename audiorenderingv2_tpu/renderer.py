@@ -1,0 +1,196 @@
+"""AudioRenderer — the user-facing render/convolve facade.
+
+The TPU-native counterpart of the reference's AudioRenderer host pipeline
+(AudioRenderer.h:24-54, AudioRenderer.cpp). Where the reference manages an
+OptiX context, module, SBT, and GAS — rebuilding accel + SBT on every
+emitter/receiver move (AudioRenderer.cpp:466-486) — this renderer owns only:
+
+  * device scene arrays (built once per scene; the receiver is an analytic
+    parameter, so pose changes never touch geometry),
+  * a jit-compiled trace+histogram function keyed on the static trace
+    parameters (recompiled only when e.g. max_bounces changes),
+  * the jit-compiled convolution ops.
+
+Public surface mirrors the reference renderer: render(), convolve_audio_file
+(convoluteAudioFile), convolve_live_input (convoluteLiveInput), setter pairs
+(setEmitterPosInOptix / setSphereCenterInOptix / setThresholds / setBasePower /
+set_hrtf_absorption_rate / setMonoOutput), and full_render_cycle().
+"""
+from __future__ import annotations
+
+import dataclasses
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants
+from .core import sampling
+from .core.tracer import TracerOptions, scene_to_arrays, trace_ir
+from .core.tracer_ref import TraceParams
+from .ops import convolve
+from .scene import Scene
+
+
+class AudioRenderer:
+    """Renders binaural impulse responses and convolves audio with them.
+
+    Args:
+      scene: host-side Scene (absorptions already resolved).
+      ir_seconds: IR length in seconds (renderer_parameters.ir_length_in_seconds).
+      sample_rate: audio sample rate; IR bin rate equals it.
+      n_rays: rays per render (the reference's rays.x*y*z launch grid).
+      base_power, energy_threshold, max_bounces, hrtf_absorption_rate,
+      is_mono: pathtracer parameters (config.json:27-37).
+      opts: tracer performance options.
+      seed: RNG seed; each render() folds a draw counter into the key, so
+        repeated renders are independent but the sequence is reproducible.
+    """
+
+    def __init__(
+        self,
+        scene: Scene,
+        ir_seconds: int,
+        sample_rate: int,
+        n_rays: int,
+        *,
+        base_power: float = 100.0,
+        energy_threshold: float = 0.0,
+        max_bounces: int = 10,
+        hrtf_absorption_rate: float = constants.DEFAULT_HRTF_ABSORPTION,
+        is_mono: bool = False,
+        opts: TracerOptions | None = None,
+        seed: int = 0,
+    ):
+        self.scene = scene
+        self.n_rays = int(n_rays)
+        self.opts = opts or TracerOptions()
+        self.sc = scene_to_arrays(scene, self.opts.tri_chunk)
+        self.params = TraceParams(
+            sample_rate=int(sample_rate),
+            ir_length=int(ir_seconds) * int(sample_rate),
+            base_power=float(base_power),
+            energy_threshold=float(energy_threshold),
+            max_bounces=int(max_bounces),
+            hrtf_absorption_rate=float(hrtf_absorption_rate),
+            is_mono=bool(is_mono),
+        )
+        self.emitter_pos = np.zeros(3, np.float32)
+        self.receiver_pos = np.zeros(3, np.float32)
+        self.receiver_yaw_deg = 0.0
+        self._key = jax.random.PRNGKey(seed)
+        self._draws = 0
+        self._ir: np.ndarray | None = None
+        self._fns: dict = {}
+        # Serializes full_render_cycle against concurrent audio pulls, the
+        # role of the reference's output_buffer_mutex (AudioRenderer.cpp:790).
+        self.lock = threading.RLock()
+
+    # ------------------------------------------------------------- setters
+    def set_emitter_pos(self, pos) -> None:
+        """Reference setEmitterPosInOptix (AudioRenderer.cpp:752-756) — here
+        just a parameter store; no accel rebuild exists to trigger."""
+        self.emitter_pos = np.asarray(pos, np.float32)
+
+    def set_receiver(self, pos, yaw_deg: float) -> None:
+        """Reference placeReceiver + setSphereCenterInOptix
+        (OptixModel.cpp:153-157, AudioRenderer.cpp:758-762)."""
+        self.receiver_pos = np.asarray(pos, np.float32)
+        self.receiver_yaw_deg = float(yaw_deg)
+
+    def set_thresholds(self, energy_threshold: float, max_bounces: int) -> None:
+        self.params = dataclasses.replace(
+            self.params, energy_threshold=float(energy_threshold),
+            max_bounces=int(max_bounces))
+
+    def set_base_power(self, base_power: float) -> None:
+        self.params = dataclasses.replace(self.params, base_power=float(base_power))
+
+    def set_hrtf_absorption_rate(self, rate: float) -> None:
+        self.params = dataclasses.replace(self.params, hrtf_absorption_rate=float(rate))
+
+    def set_mono_output(self, is_mono: bool) -> None:
+        self.params = dataclasses.replace(self.params, is_mono=bool(is_mono))
+
+    # ------------------------------------------------------------- render
+    def _render_fn(self):
+        """Jit-compiled trace for the current static params/opts."""
+        cache_key = (self.params, self.opts, self.n_rays)
+        fn = self._fns.get(cache_key)
+        if fn is None:
+            params, opts, n_rays = self.params, self.opts, self.n_rays
+
+            @jax.jit
+            def fn(sc, key, emitter, rec_pos, yaw_deg):
+                dirs = sampling.sample_directions(key, n_rays)
+                ir = trace_ir(sc, dirs, emitter, rec_pos, yaw_deg, params, opts)
+                if params.is_mono:
+                    # addIRs fold: both ears carry the sum (kernels.cu:519-536).
+                    ir = jnp.broadcast_to(jnp.sum(ir, axis=0, keepdims=True), ir.shape)
+                return ir
+
+            self._fns[cache_key] = fn
+        return fn
+
+    def render(self, key: jax.Array | None = None) -> np.ndarray:
+        """Trace a fresh IR; returns float32 [2, ir_length] (left, right)."""
+        if key is None:
+            key = jax.random.fold_in(self._key, self._draws)
+            self._draws += 1
+        ir = self._render_fn()(
+            self.sc, key, jnp.asarray(self.emitter_pos),
+            jnp.asarray(self.receiver_pos),
+            jnp.float32(self.receiver_yaw_deg))
+        self._ir = np.asarray(ir)
+        return self._ir
+
+    @property
+    def ir(self) -> np.ndarray | None:
+        """Last rendered IR, [2, ir_length]."""
+        return self._ir
+
+    # --------------------------------------------------------- convolution
+    def convolve_audio_file(self, samples: np.ndarray) -> np.ndarray:
+        """Convolve a full signal with the current IR.
+
+        Mirrors convoluteAudioFile (AudioRenderer.cpp:663-745): overlap-add
+        per 1 s segment, /(ir_length/2) normalization, output truncated to
+        the input length. Returns float32 [2, L].
+        """
+        if self._ir is None:
+            raise RuntimeError("render() an IR first")
+        return np.asarray(convolve.convolve_file_stereo(
+            jnp.asarray(samples, jnp.float32), jnp.asarray(self._ir),
+            self.params.sample_rate))
+
+    def convolve_live_input(self, block: np.ndarray, ring_buffer) -> None:
+        """Convolve one live input block and accumulate into ``ring_buffer``.
+
+        Mirrors convoluteLiveInput (AudioRenderer.cpp:593-660): the block is
+        zero-padded to ir_length, circularly convolved with both ears,
+        normalized, interleaved LRLR and added to the ring buffer whose
+        accumulate/drain semantics match CircularBuffer.h.
+        """
+        if self._ir is None:
+            raise RuntimeError("render() an IR first")
+        n = self.params.ir_length
+        block = np.asarray(block, np.float32)
+        if block.shape[0] > n:
+            raise ValueError("live block longer than the IR")
+        padded = np.zeros(n, np.float32)
+        padded[: block.shape[0]] = block
+        out = convolve.convolve_live(jnp.asarray(padded), jnp.asarray(self._ir))
+        inter = np.asarray(convolve.interleave_stereo(out[0], out[1]))
+        ring_buffer.add(inter)
+
+    # ---------------------------------------------------------- full cycle
+    def full_render_cycle(self, receiver_pos, receiver_yaw_deg: float,
+                          samples: np.ndarray) -> np.ndarray:
+        """Move the listener, re-render, convolve — the reference's
+        full_render_cycle under its output-buffer mutex
+        (AudioRenderer.cpp:790-798). Returns the stereo output [2, L]."""
+        with self.lock:
+            self.set_receiver(receiver_pos, receiver_yaw_deg)
+            self.render()
+            return self.convolve_audio_file(samples)

@@ -1,0 +1,60 @@
+"""Sort-based histogram vs numpy scatter; soft-binning gradients."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiorenderingv2_tpu.core import binning
+
+
+def test_histogram_matches_numpy_scatter():
+    rng = np.random.default_rng(1)
+    bins = rng.integers(-5, 40, size=5000).astype(np.int32)
+    w = rng.normal(size=5000).astype(np.float32)
+    out = np.asarray(binning.histogram_sum(jnp.asarray(bins), jnp.asarray(w), 32))
+    expect = np.zeros(32, np.float64)
+    for b, x in zip(bins, w):
+        if 0 <= b < 32:
+            expect[b] += x
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_histogram_jit_and_empty_bins():
+    f = jax.jit(lambda b, w: binning.histogram_sum(b, w, 16))
+    out = np.asarray(f(jnp.array([3, 3, 200, -1]), jnp.array([1.0, 2.0, 5.0, 7.0])))
+    expect = np.zeros(16)
+    expect[3] = 3.0
+    np.testing.assert_allclose(out, expect)
+
+
+def test_hard_deposit_rounds():
+    bins, ws = binning.hard_deposit(jnp.array([1.4, 1.6, 2.5]), jnp.array([1.0, 1.0, 1.0]), 10)
+    np.testing.assert_array_equal(np.asarray(bins)[:, 0], [1, 2, 2])  # round-half-even on 2.5
+    np.testing.assert_allclose(np.asarray(ws)[:, 0], 1.0)
+
+
+def test_soft_deposit_interpolates():
+    bins, ws = binning.soft_deposit(jnp.array([2.25]), jnp.array([4.0]), 10)
+    np.testing.assert_array_equal(np.asarray(bins)[0], [2, 3])
+    np.testing.assert_allclose(np.asarray(ws)[0], [3.0, 1.0])
+
+
+def test_soft_binning_delay_gradient():
+    """d(hist)/d(bin position) must exist and match the interpolation slope."""
+
+    def loss(bin_f):
+        bins, ws = binning.soft_deposit(bin_f, jnp.ones_like(bin_f), 8)
+        hist = binning.histogram_sum(bins, ws, 8)
+        return hist[3]  # mass landing in bin 3
+
+    g = jax.grad(loss)(jnp.array([2.4]))
+    # moving the event from 2.4 toward 3 raises bin 3's mass at slope +1
+    np.testing.assert_allclose(np.asarray(g), [1.0], atol=1e-6)
+
+
+def test_weight_gradient_through_sort():
+    def loss(w):
+        hist = binning.histogram_sum(jnp.array([0, 1, 1, 5]), w, 8)
+        return hist[1] * 2.0 + hist[5]
+
+    g = jax.grad(loss)(jnp.array([1.0, 1.0, 1.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(g), [0.0, 2.0, 2.0, 1.0])

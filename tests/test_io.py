@@ -1,0 +1,75 @@
+"""Tests for .obj/.mtl parsing and the WAV codec."""
+import os
+
+import numpy as np
+import pytest
+
+from audiorenderingv2_tpu.config import MaterialSpec
+from audiorenderingv2_tpu.io import obj as obj_io
+from audiorenderingv2_tpu.io import wav as wav_io
+
+REF = "/root/reference"
+
+
+def test_parse_simple_obj(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text(
+        "mtllib tri.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "usemtl red\n"
+        "f 1 2 3\n"
+        "usemtl blue\n"
+        "f 2/1 4/2/3 3//1\n"
+        "f -4 -3 -2 -1\n"  # quad with negative indices -> 2 tris
+    )
+    (tmp_path / "tri.mtl").write_text("newmtl red\nKd 1 0 0\nnewmtl blue\n")
+    mesh = obj_io.load_obj(p)
+    assert mesh.vertices.shape == (4, 3)
+    assert mesh.n_triangles == 4
+    assert mesh.material_names == ["red", "blue"]
+    np.testing.assert_array_equal(mesh.tri_material, [0, 1, 1, 1])
+    np.testing.assert_array_equal(mesh.triangles[1], [1, 3, 2])
+    np.testing.assert_array_equal(mesh.triangles[2], [0, 1, 2])
+    np.testing.assert_array_equal(mesh.triangles[3], [0, 2, 3])
+
+
+def test_absorption_resolution_default():
+    mats = [MaterialSpec("red", 0.2), MaterialSpec("blue", 0.9)]
+    per = obj_io.resolve_absorption(["red", "unknown", "blue"], mats)
+    # unmatched names and the trailing no-material slot default to 0.5
+    np.testing.assert_allclose(per, [0.2, 0.5, 0.9, 0.5])
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference assets absent")
+def test_parse_reference_scene():
+    mesh = obj_io.load_obj(f"{REF}/assets/models/3D_U.obj")
+    assert mesh.n_triangles > 0
+    assert len(mesh.material_names) > 0
+    lo, hi = mesh.bounds()
+    assert np.all(hi > lo)
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-1, 1, (2, 1000)) * 0.9).astype(np.float32)
+    for depth, tol in [(16, 1e-4), (24, 1e-6), (32, 1e-7), (-32, 1e-7)]:
+        p = tmp_path / f"t{depth}.wav"
+        wav_io.write_wav(p, x, 16000, bit_depth=depth)
+        back = wav_io.read_wav(p)
+        assert back.sample_rate == 16000
+        assert back.samples.shape == (2, 1000)
+        np.testing.assert_allclose(back.samples, x, atol=tol)
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference assets absent")
+def test_read_reference_wav():
+    a = wav_io.read_wav(f"{REF}/assets/sound_samples/guitar_sample_16k.wav")
+    assert a.sample_rate == 16000
+    assert a.n_frames > 16000
+    assert np.abs(a.samples).max() <= 1.0
+
+
+def test_normalize_range():
+    x = np.array([1.0, 3.0, 2.0])
+    y = wav_io.normalize_minus_one_to_one(x)
+    np.testing.assert_allclose(y, [-1.0, 1.0, 0.0])

@@ -1,0 +1,58 @@
+"""Ring buffer + re-render policy semantics (CircularBuffer.h, main.cpp:470-498)."""
+import numpy as np
+
+from audiorenderingv2_tpu.streaming import ReRenderPolicy, RingBuffer, ListenerTrajectory, TrajectoryPoint
+
+
+def test_ring_add_does_not_advance():
+    rb = RingBuffer(8)
+    rb.add(np.ones(4))
+    rb.add(np.ones(4) * 2)  # stacks on the same region
+    out = rb.get_and_reset(4)
+    np.testing.assert_allclose(out, 3.0)
+    # region was zeroed and head advanced
+    np.testing.assert_allclose(rb.get_and_reset(4), 0.0)
+
+
+def test_ring_overlap_accumulation():
+    """The live convolution tail pattern: add ir-length output, drain a
+    block, next add overlaps the remaining tail."""
+    rb = RingBuffer(12)
+    rb.add(np.arange(8, dtype=float))        # [0..7]
+    out1 = rb.get_and_reset(4)               # drains 0..3, head=4
+    np.testing.assert_allclose(out1, [0, 1, 2, 3])
+    rb.add(np.ones(8))                       # stacks on 4..11
+    out2 = rb.get_and_reset(4)               # (4..7 leftovers) + 1
+    np.testing.assert_allclose(out2, [5, 6, 7, 8])
+
+
+def test_ring_wraparound():
+    rb = RingBuffer(6)
+    rb.get_and_reset(4)  # advance head to 4
+    rb.add(np.array([1.0, 2.0, 3.0, 4.0]))  # wraps: idx 4,5,0,1
+    out = rb.get_and_reset(4)
+    np.testing.assert_allclose(out, [1, 2, 3, 4])
+
+
+def test_policy_triggers():
+    p = ReRenderPolicy(distance_threshold=2.0, angle_threshold=5.0, settle_seconds=1.0)
+    assert p.should_render(0.0, np.zeros(3), 0.0)  # first call always renders
+    assert not p.should_render(0.1, np.array([1.0, 0, 0]), 1.0)  # small move
+    assert p.should_render(0.2, np.array([3.0, 0, 0]), 1.0)      # > 2 m
+    assert not p.should_render(0.3, np.array([3.1, 0, 0]), 1.0)
+    assert p.should_render(0.4, np.array([3.1, 0, 0]), 8.0)      # > 5 deg turn
+    # settle timer: small motion then 1 s of stillness
+    assert not p.should_render(0.5, np.array([3.2, 0, 0]), 8.0)
+    assert p.should_render(1.6, np.array([3.2, 0, 0]), 8.0)
+
+
+def test_trajectory_interpolation():
+    traj = ListenerTrajectory([
+        TrajectoryPoint(0.0, np.array([0.0, 0, 0]), 0.0),
+        TrajectoryPoint(2.0, np.array([4.0, 0, 0]), 90.0),
+    ])
+    pos, yaw = traj.at(1.0)
+    np.testing.assert_allclose(pos, [2.0, 0, 0])
+    assert yaw == 45.0
+    pos, yaw = traj.at(5.0)
+    np.testing.assert_allclose(pos, [4.0, 0, 0])
