@@ -68,11 +68,15 @@ class SceneArrays(NamedTuple):
 class TracerOptions:
     """Static performance knobs (part of the jit cache key)."""
 
-    block_size: int = 8192       # rays traced in lockstep
+    block_size: int = 8192       # rays traced in lockstep (XLA backend)
     tri_chunk: int = 2048        # triangles per intersection chunk
     soft_binning: bool = False   # linear-interp bins (differentiable delays)
     early_exit: bool = True      # while_loop with all-dead exit (forward only)
     remat: bool = False          # checkpoint per-block trace for backward
+    backend: str = "xla"         # "xla" (differentiable) | "pallas" (fused
+                                 # forward-only kernel; the fast path on TPU)
+    rays_per_tile: int = 256     # Pallas: rays per kernel tile (VMEM-bound)
+    pallas_interpret: bool = False  # Pallas interpreter mode (CPU testing)
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
@@ -195,10 +199,10 @@ class _RayState(NamedTuple):
 
 def _bounce_step(state: _RayState, sc: SceneArrays, rec_center, yaw_rad,
                  params: TraceParams, opts: TracerOptions) -> _RayState:
-    alive = (~state.done
-             & (state.dist < params.distance_threshold)
-             & (state.energy > params.energy_threshold)
-             & (state.depth < params.max_bounces))
+    can_continue = ((state.dist < params.distance_threshold)
+                    & (state.energy > params.energy_threshold)
+                    & (state.depth < params.max_bounces))
+    alive = ~state.done & can_continue
 
     t_tri, tri = _intersect_block(sc, state.pos, state.dirn, opts.tri_chunk)
     t_sph, chord = _sphere_entry(state.pos, state.dirn, rec_center)
@@ -237,7 +241,10 @@ def _bounce_step(state: _RayState, sc: SceneArrays, rec_center, yaw_rad,
         dist=jnp.where(surface, state.dist + t_tri_safe, state.dist),
         energy=jnp.where(surface, state.energy * (1.0 - absorb), state.energy),
         depth=jnp.where(surface, state.depth + 1, state.depth),
-        done=state.done | receiver | miss,
+        # distance/energy/depth limits are monotonic, so a ray failing them
+        # now can never revive — mark it done so the early-exit while_loop
+        # stops as soon as no ray can deposit anything further.
+        done=state.done | receiver | miss | ~can_continue,
         ev_bin_f=ev_bin_f,
         ev_w=ev_w,
         ev_ear=ev_ear,
@@ -350,6 +357,24 @@ def trace_ir(
     """
     n = directions.shape[0]
     n_total = n_total_rays if n_total_rays is not None else n
+
+    if opts.backend == "pallas":
+        # Fused on-chip trace kernel (forward-only; falls back to the XLA
+        # path automatically when gradients are needed via opts.backend).
+        from ..ops import raytrace_pallas as rp
+
+        ev_bin_f, ev_w, ev_ear = rp.trace_events_pallas(
+            rp.pack_tris(sc), jnp.asarray(directions, jnp.float32),
+            jnp.asarray(emitter, jnp.float32),
+            jnp.asarray(receiver_pos, jnp.float32),
+            jnp.asarray(receiver_yaw_deg, jnp.float32),
+            params, rays_per_tile=opts.rays_per_tile,
+            n_total_rays=n_total, interpret=opts.pallas_interpret)
+        flat, ws = _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params,
+                                        opts.soft_binning)
+        hist = binning.histogram_sum(flat, ws, 2 * params.ir_length)
+        return hist.reshape(2, params.ir_length)
+
     block = min(opts.block_size, n)
     n_pad = ((n + block - 1) // block) * block
     n_blocks = n_pad // block

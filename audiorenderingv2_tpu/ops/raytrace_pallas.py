@@ -1,0 +1,295 @@
+"""Pallas TPU kernel: the fully-fused acoustic trace loop.
+
+This is the speed-of-light path replacing the reference's OptiX launch
+(devicePrograms.cu:192-254). The XLA tracer in core/tracer.py materializes
+[rays, tris] intermediates to HBM on every bounce (measured ~20G pair-tests/s,
+HBM-bound); this kernel keeps the ENTIRE bounce loop on-chip:
+
+  * grid over ray tiles; each tile of R rays runs its whole bounce loop in
+    one kernel invocation with all state in VMEM/registers,
+  * triangle data (17 packed rows) lives in VMEM, reused across all bounces,
+  * the per-bounce intersection processes R rays x 128-triangle lane chunks
+    as pure VPU ops ([R, 1] ray state broadcast against [1, 128] triangle
+    rows) — candidate t, barycentric inside-tests, running min — with the
+    winning triangle's shading attributes (unit normal, absorption) extracted
+    by masked lane reductions instead of gathers,
+  * per-tile early exit: a while_loop ends as soon as every ray in the tile
+    is done (receiver hit, miss, or past the distance/energy/bounce limits),
+  * HBM traffic per ray for the whole trace: read 12 B of direction, write
+    12 B of event — versus ~kilobytes per bounce for the XLA path.
+
+Outputs are the same per-ray event slots (fractional arrival bin, deposited
+energy, ear) consumed by the sort-based histogram in core/binning.py; the
+physics exactly matches core/tracer.py and the numpy oracle (see
+tests/test_pallas.py). Forward-only: gradient work uses the differentiable
+XLA scan path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants
+from ..core.tracer import SceneArrays
+from ..core.tracer_ref import TraceParams
+
+_LANES = 128
+# Packed triangle-data row indices (see pack_tris).
+_ROWS = 17
+(_PNX, _PNY, _PNZ, _PD,
+ _AUX, _AUY, _AUZ, _AUO,
+ _AVX, _AVY, _AVZ, _AVO,
+ _NX, _NY, _NZ, _ABS, _VAL) = range(_ROWS)
+
+# Scalar-parameter slots (see _scalars).
+_NSCAL = 16
+(_S_EMX, _S_EMY, _S_EMZ, _S_RCX, _S_RCY, _S_RCZ,
+ _S_SINY, _S_COSY, _S_E0, _S_ETHR, _S_DTHR, _S_BINRATE,
+ _S_NREAL, _S_R2, _S_PAD14, _S_PAD15) = range(_NSCAL)
+
+
+def pack_tris(sc: SceneArrays) -> jax.Array:
+    """Pack scene arrays into the [17, T] row layout the kernel consumes."""
+    rows = jnp.stack([
+        sc.plane_n[:, 0], sc.plane_n[:, 1], sc.plane_n[:, 2], sc.plane_d,
+        sc.bary_u[:, 0], sc.bary_u[:, 1], sc.bary_u[:, 2], sc.u_off,
+        sc.bary_v[:, 0], sc.bary_v[:, 1], sc.bary_v[:, 2], sc.v_off,
+        sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
+        sc.absorption, sc.valid,
+    ])
+    return rows.astype(jnp.float32)
+
+
+def _scalars(emitter, rec, yaw_rad, e0, params: TraceParams, n_real: int) -> jax.Array:
+    vals = jnp.zeros((1, _NSCAL), jnp.float32)
+    vals = vals.at[0, _S_EMX].set(emitter[0]).at[0, _S_EMY].set(emitter[1]).at[0, _S_EMZ].set(emitter[2])
+    vals = vals.at[0, _S_RCX].set(rec[0]).at[0, _S_RCY].set(rec[1]).at[0, _S_RCZ].set(rec[2])
+    vals = vals.at[0, _S_SINY].set(jnp.sin(yaw_rad)).at[0, _S_COSY].set(jnp.cos(yaw_rad))
+    vals = vals.at[0, _S_E0].set(e0)
+    vals = vals.at[0, _S_ETHR].set(params.energy_threshold)
+    vals = vals.at[0, _S_DTHR].set(params.distance_threshold)
+    vals = vals.at[0, _S_BINRATE].set(params.sample_rate / constants.SPEED_OF_SOUND)
+    vals = vals.at[0, _S_NREAL].set(float(n_real))
+    vals = vals.at[0, _S_R2].set(constants.RECEIVER_RADIUS ** 2)
+    return vals
+
+
+def _trace_kernel(scal_ref, dirs_ref, tris_ref,
+                  bin_ref, w_ref, ear_ref,
+                  *, rays_per_tile: int, n_chunks: int, max_bounces: int):
+    r = rays_per_tile
+    s = lambda j: scal_ref[0, j]
+    inf = jnp.float32(jnp.inf)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 1)
+
+    dx = dirs_ref[:, 0:1]
+    dy = dirs_ref[:, 1:2]
+    dz = dirs_ref[:, 2:3]
+
+    # Padding rays (global index >= n_real) start with zero energy and are
+    # never alive (energy > threshold fails, matching the XLA tracer).
+    tile0 = pl.program_id(0) * r
+    gidx = tile0 + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    energy0 = jnp.where(gidx.astype(jnp.float32) < s(_S_NREAL), s(_S_E0), 0.0)
+
+    zero = jnp.zeros((r, 1), jnp.float32)
+    init = (
+        jnp.int32(0),
+        zero + s(_S_EMX), zero + s(_S_EMY), zero + s(_S_EMZ),  # pos
+        dx, dy, dz,                                            # dir
+        zero,                                                  # dist
+        energy0,                                               # energy
+        jnp.zeros((r, 1), jnp.float32),                        # depth
+        jnp.zeros((r, 1), jnp.float32),                        # done mask
+        zero, zero, zero,                                      # event slots
+    )
+
+    def cond(carry):
+        i = carry[0]
+        done = carry[10]
+        return (i < max_bounces) & (jnp.max(1.0 - done) > 0.0)
+
+    def body(carry):
+        (i, px, py, pz, vx, vy, vz, dist, energy, depth, done,
+         ev_bin, ev_w, ev_ear) = carry
+
+        can_continue = ((dist < s(_S_DTHR)) & (energy > s(_S_ETHR))
+                        & (depth < jnp.float32(max_bounces)))
+        alive = (done == 0.0) & can_continue
+
+        # ---- nearest triangle: loop lane-chunks of 128 triangles ----
+        best_t = jnp.full((r, 1), inf)
+        best_nx = zero
+        best_ny = zero
+        best_nz = zero
+        best_ab = zero
+
+        for c in range(n_chunks):  # static unroll; tri rows stay in VMEM
+            tr = tris_ref[:, c * _LANES:(c + 1) * _LANES]
+            row = lambda k: tr[k:k + 1, :]  # [1, 128]
+            nd = vx * row(_PNX) + vy * row(_PNY) + vz * row(_PNZ)
+            no = px * row(_PNX) + py * row(_PNY) + pz * row(_PNZ) + row(_PD)
+            safe = jnp.abs(nd) > 1e-12
+            t = -no / jnp.where(safe, nd, 1.0)
+            ou = px * row(_AUX) + py * row(_AUY) + pz * row(_AUZ) + row(_AUO)
+            du = vx * row(_AUX) + vy * row(_AUY) + vz * row(_AUZ)
+            u = ou + t * du
+            ov = px * row(_AVX) + py * row(_AVY) + pz * row(_AVZ) + row(_AVO)
+            dv = vx * row(_AVX) + vy * row(_AVY) + vz * row(_AVZ)
+            v = ov + t * dv
+            ok = (safe & (t > constants.T_MIN)
+                  & (u >= -1e-7) & (v >= -1e-7) & (u + v <= 1.0 + 1e-7)
+                  & (row(_VAL) > 0))
+            tm = jnp.where(ok, t, inf)
+            ct = jnp.min(tm, axis=1, keepdims=True)            # [r, 1]
+            better = ct < best_t
+            # winner lane (first lane on ties == argmin semantics)
+            win_lane = jnp.min(jnp.where(tm <= ct, lane, _LANES),
+                               axis=1, keepdims=True)
+            win = (lane == win_lane)
+            pick = lambda k: jnp.sum(jnp.where(win, row(k), 0.0),
+                                     axis=1, keepdims=True)
+            best_nx = jnp.where(better, pick(_NX), best_nx)
+            best_ny = jnp.where(better, pick(_NY), best_ny)
+            best_nz = jnp.where(better, pick(_NZ), best_nz)
+            best_ab = jnp.where(better, pick(_ABS), best_ab)
+            best_t = jnp.where(better, ct, best_t)
+
+        # ---- receiver sphere (devicePrograms.cu:91-122) ----
+        ocx = px - s(_S_RCX)
+        ocy = py - s(_S_RCY)
+        ocz = pz - s(_S_RCZ)
+        b = ocx * vx + ocy * vy + ocz * vz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - s(_S_R2)
+        disc = b * b - cc
+        sph_hit = disc > 0.0
+        sq = jnp.sqrt(jnp.where(sph_hit, disc, 0.0))
+        t1 = -b - sq
+        t2 = -b + sq
+        t_sph = jnp.where(sph_hit & (t1 > constants.T_MIN), t1,
+                          jnp.where(sph_hit & (t2 > constants.T_MIN), t2, inf))
+        chord = t2 - t1
+
+        receiver = alive & (t_sph < best_t)
+        surface = alive & jnp.logical_not(receiver) & (best_t < inf)
+        miss = alive & jnp.logical_not(receiver) & jnp.logical_not(surface)
+
+        # receiver event: bin, energy*chord, ear from head-local z sign
+        t_sph_safe = jnp.where(t_sph < inf, t_sph, 0.0)
+        dist_r = dist + t_sph_safe
+        hx = px + t_sph_safe * vx - s(_S_RCX)
+        hz = pz + t_sph_safe * vz - s(_S_RCZ)
+        local_z = -s(_S_SINY) * hx + s(_S_COSY) * hz
+        ear = (local_z >= 0.0).astype(jnp.float32)
+        ev_bin = jnp.where(receiver, dist_r * s(_S_BINRATE), ev_bin)
+        ev_w = jnp.where(receiver, energy * chord, ev_w)
+        ev_ear = jnp.where(receiver, ear, ev_ear)
+
+        # surface bounce: reflect, absorb, offset (devicePrograms.cu:171-179)
+        t_hit = jnp.where(best_t < inf, best_t, 0.0)
+        dn = vx * best_nx + vy * best_ny + vz * best_nz
+        rx = vx - 2.0 * dn * best_nx
+        ry = vy - 2.0 * dn * best_ny
+        rz = vz - 2.0 * dn * best_nz
+        eps = jnp.float32(constants.BOUNCE_EPSILON)
+        px = jnp.where(surface, px + t_hit * vx + eps * rx, px)
+        py = jnp.where(surface, py + t_hit * vy + eps * ry, py)
+        pz = jnp.where(surface, pz + t_hit * vz + eps * rz, pz)
+        vx = jnp.where(surface, rx, vx)
+        vy = jnp.where(surface, ry, vy)
+        vz = jnp.where(surface, rz, vz)
+        dist = jnp.where(surface, dist + t_hit, dist)
+        energy = jnp.where(surface, energy * (1.0 - best_ab), energy)
+        depth = jnp.where(surface, depth + 1.0, depth)
+        newly_done = receiver | miss | jnp.logical_not(can_continue)
+        done = jnp.maximum(done, newly_done.astype(jnp.float32))
+
+        return (i + 1, px, py, pz, vx, vy, vz, dist, energy, depth, done,
+                ev_bin, ev_w, ev_ear)
+
+    final = jax.lax.while_loop(cond, body, init)
+    *_, ev_bin, ev_w, ev_ear = final
+    bin_ref[:, :] = ev_bin
+    w_ref[:, :] = ev_w
+    ear_ref[:, :] = ev_ear
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "rays_per_tile", "n_total_rays", "interpret"))
+def trace_events_pallas(
+    tris_packed: jax.Array,
+    directions: jax.Array,
+    emitter: jax.Array,
+    receiver_pos: jax.Array,
+    receiver_yaw_deg: jax.Array | float,
+    params: TraceParams,
+    rays_per_tile: int = 256,
+    n_total_rays: int | None = None,
+    interpret: bool = False,
+):
+    """Trace rays with the fused kernel.
+
+    Args:
+      tris_packed: [17, T] from :func:`pack_tris`; T a multiple of 128.
+      directions: [N, 3] unit directions (padded internally to whole tiles).
+    Returns (ev_bin_f [N], ev_w [N], ev_ear [N]) event slots.
+    """
+    n = directions.shape[0]
+    n_real = n_total_rays if n_total_rays is not None else n
+    r = rays_per_tile
+    n_pad = ((n + r - 1) // r) * r
+    dirs = jnp.asarray(directions, jnp.float32)
+    if n_pad != n:
+        dirs = jnp.pad(dirs, ((0, n_pad - n), (0, 0)))
+    n_tiles = n_pad // r
+
+    t_total = tris_packed.shape[1]
+    if t_total % _LANES:
+        raise ValueError(f"triangle count {t_total} not a multiple of {_LANES}")
+    n_chunks = t_total // _LANES
+
+    e0 = params.base_power / (n_real * constants.SPHERE_VOLUME)
+    yaw_rad = jnp.deg2rad(jnp.asarray(receiver_yaw_deg, jnp.float32))
+    scal = _scalars(jnp.asarray(emitter, jnp.float32),
+                    jnp.asarray(receiver_pos, jnp.float32),
+                    yaw_rad, e0, params, n)
+
+    kernel = functools.partial(
+        _trace_kernel, rays_per_tile=r, n_chunks=n_chunks,
+        max_bounces=params.max_bounces)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, _NSCAL), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((r, 3), lambda i: (i, 0)),
+            pl.BlockSpec((_ROWS, t_total), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, 1), lambda i: (i, 0)),
+            pl.BlockSpec((r, 1), lambda i: (i, 0)),
+            pl.BlockSpec((r, 1), lambda i: (i, 0)),
+        ],
+    )
+    ev_bin, ev_w, ev_ear = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scal, dirs, tris_packed)
+    return ev_bin[:n, 0], ev_w[:n, 0], ev_ear[:n, 0].astype(jnp.int32)

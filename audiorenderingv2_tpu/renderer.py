@@ -65,7 +65,12 @@ class AudioRenderer:
     ):
         self.scene = scene
         self.n_rays = int(n_rays)
-        self.opts = opts or TracerOptions()
+        if opts is None:
+            # The fused Pallas kernel is the fast path on TPU; the XLA path
+            # runs everywhere and is differentiable.
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            opts = TracerOptions(backend=backend)
+        self.opts = opts
         self.sc = scene_to_arrays(scene, self.opts.tri_chunk)
         self.params = TraceParams(
             sample_rate=int(sample_rate),

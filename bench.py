@@ -1,0 +1,98 @@
+"""Benchmark: IR render throughput at the reference's default workload.
+
+Workload mirrors the reference's shipped config.json (config.json:26-36 +
+Context defaults): the 3D_U.obj scene, 100x100x100 = 1M rays, 2 s IR at
+16 kHz, max 100 bounces, energy threshold 0, base_power 3.62. The reference
+measures-but-never-publishes its OptiX render time (AudioRenderer.cpp:513-518,
+BASELINE.md); the recorded CUDA stand-in baseline is 1e8 rays/s — an
+RTX-class OptiX figure for a 1M-ray acoustic launch — so
+``vs_baseline = rays_per_s / 1e8``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra context goes to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CUDA_BASELINE_RAYS_PER_S = 1.0e8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import audiorenderingv2_tpu as ar
+    from audiorenderingv2_tpu import testing
+    from audiorenderingv2_tpu.core import sampling
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    ref_scene = "/root/reference/assets/models/3D_U.obj"
+    materials = [ar.MaterialSpec(n, a) for n, a in
+                 [("low", 0.1), ("med", 0.3), ("high", 0.6),
+                  ("red", 0.2), ("blue", 0.9)]]
+    if os.path.exists(ref_scene):
+        scene = ar.load_scene(ref_scene, materials)
+        log(f"scene: 3D_U.obj ({scene.n_triangles} tris)")
+    else:
+        v, t = testing.box_room((14.0, 9.0, 11.0))
+        scene = testing.scene_from_arrays(v, t, 0.3)
+        log(f"scene: procedural box ({scene.n_triangles} tris)")
+
+    n_rays = 1_000_000
+    params = ar.TraceParams(sample_rate=16000, ir_length=32000,
+                            base_power=3.62, max_bounces=100,
+                            energy_threshold=0.0, hrtf_absorption_rate=0.9)
+    opts = ar.TracerOptions(block_size=int(os.environ.get("AR2_BENCH_BLOCK", 65536)),
+                            tri_chunk=1024,
+                            backend=os.environ.get("AR2_BENCH_BACKEND", "pallas"),
+                            rays_per_tile=int(os.environ.get("AR2_BENCH_TILE", 256)))
+    sc = ar.scene_to_arrays(scene, opts.tri_chunk)
+
+    @jax.jit
+    def render(key, emitter, rec, yaw):
+        dirs = sampling.sample_directions(key, n_rays)
+        return ar.trace_ir(sc, dirs, emitter, rec, yaw, params, opts)
+
+    emitter = jnp.zeros(3, jnp.float32)
+    rec = jnp.array([2.5, 9.9, 0.0], jnp.float32)  # config.json receiver
+    yaw = jnp.float32(0.0)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    ir = jax.block_until_ready(render(key, emitter, rec, yaw))
+    log(f"compile+first render: {time.time()-t0:.2f}s, "
+        f"ir sum={float(np.asarray(ir).sum()):.4e}, "
+        f"nonzero bins={int((np.asarray(ir) != 0).sum())}")
+
+    times = []
+    for i in range(5):
+        k = jax.random.fold_in(key, i + 1)
+        t0 = time.time()
+        jax.block_until_ready(render(k, emitter, rec, yaw))
+        times.append(time.time() - t0)
+    t_render = float(np.median(times))
+    rays_per_s = n_rays / t_render
+    log(f"render times: {[f'{t*1000:.1f}ms' for t in times]}; "
+        f"median {t_render*1000:.1f} ms -> {rays_per_s:.3e} rays/s "
+        f"({1.0/t_render:.2f} IR renders/s at 1M rays)")
+
+    print(json.dumps({
+        "metric": "rays_per_s",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / CUDA_BASELINE_RAYS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

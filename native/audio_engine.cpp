@@ -1,0 +1,162 @@
+// Native audio streaming engine — the TPU build's RtAudio-equivalent runtime.
+//
+// The reference drives playback through RtAudio's device callback
+// (prebuild/rtaudio; main.cpp:69-161): a real-time thread repeatedly asks the
+// app for the next interleaved stereo block while the render thread swaps IR
+// buffers underneath. TPU pods have no sound card, so this engine reproduces
+// the same runtime structure against a file sink:
+//
+//   * a dedicated C++ streaming thread paces itself against the wall clock at
+//     the configured sample rate (or free-runs in offline mode),
+//   * each tick it drains `frames_per_buffer * channels` samples from the
+//     accumulating ring buffer (CircularBuffer semantics) and appends them to
+//     a raw float64 sink file,
+//   * the producer (Python: the convolver) pushes convolved blocks with
+//     `add`, exactly like convoluteLiveInput feeds the reference's circular
+//     buffer (AudioRenderer.cpp:653),
+//   * an atomic running flag + join gives clean shutdown, and an underrun
+//     counter surfaces starvation the way a real audio driver would glitch.
+//
+// Exposed through a plain C ABI for ctypes (no pybind11 in this image).
+#include <atomic>
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+
+#include "ring_buffer.h"
+
+namespace ar2 {
+
+class AudioEngine {
+ public:
+  AudioEngine(size_t ring_capacity, uint32_t sample_rate, uint32_t channels,
+              uint32_t frames_per_buffer, const char* sink_path,
+              int realtime_pacing)
+      : ring_(ring_capacity),
+        sample_rate_(sample_rate),
+        channels_(channels),
+        frames_per_buffer_(frames_per_buffer),
+        realtime_(realtime_pacing != 0),
+        sink_(nullptr),
+        running_(false),
+        frames_streamed_(0),
+        underruns_(0) {
+    sink_ = std::fopen(sink_path, "wb");
+  }
+
+  ~AudioEngine() {
+    Stop();
+    if (sink_) std::fclose(sink_);
+  }
+
+  bool ok() const { return sink_ != nullptr; }
+
+  void Add(const double* values, size_t n) { ring_.Add(values, n); }
+
+  void Start() {
+    if (running_.exchange(true)) return;
+    thread_ = std::thread([this] { Run(); });
+  }
+
+  void Stop() {
+    if (!running_.exchange(false)) return;
+    if (thread_.joinable()) thread_.join();
+    if (sink_) std::fflush(sink_);
+  }
+
+  // Drain whatever is pending (offline mode helper): stream `ticks` buffers
+  // synchronously without the pacing thread.
+  void DrainTicks(size_t ticks) {
+    for (size_t i = 0; i < ticks; ++i) Tick();
+  }
+
+  uint64_t frames_streamed() const { return frames_streamed_.load(); }
+  uint64_t underruns() const { return underruns_.load(); }
+
+ private:
+  void Tick() {
+    const size_t n = static_cast<size_t>(frames_per_buffer_) * channels_;
+    if (scratch_.size() < n) scratch_.resize(n);
+    ring_.GetAndReset(scratch_.data(), n);
+    bool silent = true;
+    for (size_t i = 0; i < n; ++i) {
+      if (scratch_[i] != 0.0) { silent = false; break; }
+    }
+    if (silent) underruns_.fetch_add(1);
+    if (sink_) std::fwrite(scratch_.data(), sizeof(double), n, sink_);
+    frames_streamed_.fetch_add(frames_per_buffer_);
+  }
+
+  void Run() {
+    using clock = std::chrono::steady_clock;
+    const auto period = std::chrono::nanoseconds(
+        static_cast<int64_t>(1e9 * frames_per_buffer_ / sample_rate_));
+    auto next = clock::now();
+    while (running_.load()) {
+      Tick();
+      if (realtime_) {
+        next += period;
+        std::this_thread::sleep_until(next);
+      }
+    }
+  }
+
+  RingBuffer ring_;
+  uint32_t sample_rate_;
+  uint32_t channels_;
+  uint32_t frames_per_buffer_;
+  bool realtime_;
+  std::FILE* sink_;
+  std::atomic<bool> running_;
+  std::atomic<uint64_t> frames_streamed_;
+  std::atomic<uint64_t> underruns_;
+  std::thread thread_;
+  std::vector<double> scratch_;
+};
+
+}  // namespace ar2
+
+extern "C" {
+
+// ---- RingBuffer C ABI ----
+void* ar2_ring_create(size_t capacity) { return new ar2::RingBuffer(capacity); }
+void ar2_ring_destroy(void* rb) { delete static_cast<ar2::RingBuffer*>(rb); }
+void ar2_ring_add(void* rb, const double* values, size_t n) {
+  static_cast<ar2::RingBuffer*>(rb)->Add(values, n);
+}
+void ar2_ring_get_and_reset(void* rb, double* out, size_t n) {
+  static_cast<ar2::RingBuffer*>(rb)->GetAndReset(out, n);
+}
+
+// ---- AudioEngine C ABI ----
+void* ar2_engine_create(size_t ring_capacity, uint32_t sample_rate,
+                        uint32_t channels, uint32_t frames_per_buffer,
+                        const char* sink_path, int realtime_pacing) {
+  auto* e = new ar2::AudioEngine(ring_capacity, sample_rate, channels,
+                                 frames_per_buffer, sink_path, realtime_pacing);
+  if (!e->ok()) {
+    delete e;
+    return nullptr;
+  }
+  return e;
+}
+void ar2_engine_destroy(void* e) { delete static_cast<ar2::AudioEngine*>(e); }
+void ar2_engine_add(void* e, const double* values, size_t n) {
+  static_cast<ar2::AudioEngine*>(e)->Add(values, n);
+}
+void ar2_engine_start(void* e) { static_cast<ar2::AudioEngine*>(e)->Start(); }
+void ar2_engine_stop(void* e) { static_cast<ar2::AudioEngine*>(e)->Stop(); }
+void ar2_engine_drain_ticks(void* e, size_t ticks) {
+  static_cast<ar2::AudioEngine*>(e)->DrainTicks(ticks);
+}
+uint64_t ar2_engine_frames_streamed(void* e) {
+  return static_cast<ar2::AudioEngine*>(e)->frames_streamed();
+}
+uint64_t ar2_engine_underruns(void* e) {
+  return static_cast<ar2::AudioEngine*>(e)->underruns();
+}
+
+}  // extern "C"

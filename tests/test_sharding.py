@@ -1,0 +1,66 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import audiorenderingv2_tpu as ar
+from audiorenderingv2_tpu import testing
+from audiorenderingv2_tpu.core import sampling
+from audiorenderingv2_tpu.parallel import make_ray_mesh, render_ir_sharded, trace_directions_sharded
+
+SR = 16000
+
+
+def make_box():
+    v, t = testing.box_room((12.0, 8.0, 10.0))
+    return testing.scene_from_arrays(v, t, 0.3)
+
+
+def params():
+    return ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                          max_bounces=6)
+
+
+def test_mesh_spans_devices():
+    mesh = make_ray_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.devices.size == 8, "conftest should provide 8 virtual devices"
+
+
+def test_sharded_matches_single_device():
+    scene = make_box()
+    sc = ar.scene_to_arrays(scene, 128)
+    p = params()
+    opts = ar.TracerOptions(block_size=128, tri_chunk=128)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(5), 1024)
+    single = ar.trace_ir(sc, dirs, jnp.zeros(3), jnp.array([2.0, 0.0, 1.0]),
+                         20.0, p, opts)
+    sharded = trace_directions_sharded(sc, dirs, jnp.zeros(3),
+                                       jnp.array([2.0, 0.0, 1.0]), 20.0, p, opts)
+    # same rays, same energies; psum order may reorder float adds
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_render_sharded_runs_and_normalizes():
+    scene = make_box()
+    sc = ar.scene_to_arrays(scene, 128)
+    p = params()
+    opts = ar.TracerOptions(block_size=128, tri_chunk=128)
+    ir = render_ir_sharded(sc, jax.random.PRNGKey(0), 2048, jnp.zeros(3),
+                           jnp.array([2.0, 0.0, 1.0]), 0.0, p, opts)
+    ir = np.asarray(ir)
+    assert ir.shape == (2, SR)
+    assert np.isfinite(ir).all()
+    assert ir.sum() > 0
+    # energy bound: e0*chord<=2/n per same-ear deposit (+10% cross)
+    assert ir.sum() <= p.base_power / 4.18879 * 2.0 * 1.1
+
+
+def test_indivisible_rays_raise():
+    scene = make_box()
+    sc = ar.scene_to_arrays(scene, 128)
+    with pytest.raises(ValueError):
+        render_ir_sharded(sc, jax.random.PRNGKey(0), 1001, jnp.zeros(3),
+                          jnp.zeros(3), 0.0, params())
