@@ -79,6 +79,8 @@ def build_context(config: Config, base_dir: str | Path = ".",
         opts=opts,
         seed=seed,
     )
+    renderer.write_ir_to_file_flag = config.renderer.write_first_ir_to_file
+    renderer.write_output_to_file_flag = config.renderer.write_first_output_to_file
     renderer.set_emitter_pos(np.asarray(config.scene.initial_emitter_pos, np.float32))
     receiver_pos = np.asarray(config.scene.initial_receiver_pos, np.float32)
     renderer.set_receiver(receiver_pos, 0.0)

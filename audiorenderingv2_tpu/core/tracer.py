@@ -77,6 +77,7 @@ class TracerOptions:
                                  # forward-only kernel; the fast path on TPU)
     rays_per_tile: int = 256     # Pallas: rays per kernel tile (VMEM-bound)
     pallas_interpret: bool = False  # Pallas interpreter mode (CPU testing)
+    pallas_compact: bool = True  # Pallas: sort alive rays between rounds
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
@@ -369,7 +370,8 @@ def trace_ir(
             jnp.asarray(receiver_pos, jnp.float32),
             jnp.asarray(receiver_yaw_deg, jnp.float32),
             params, rays_per_tile=opts.rays_per_tile,
-            n_total_rays=n_total, interpret=opts.pallas_interpret)
+            n_total_rays=n_total, interpret=opts.pallas_interpret,
+            compact=opts.pallas_compact)
         flat, ws = _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params,
                                         opts.soft_binning)
         hist = binning.histogram_sum(flat, ws, 2 * params.ir_length)

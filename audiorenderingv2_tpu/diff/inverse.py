@@ -96,6 +96,8 @@ def fit_scene_parameters(
     loss_kind: str = "log",
     seed: int = 0,
     callback: Callable[[int, float, dict], None] | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 50,
 ) -> FitResult:
     """Fit per-material absorption and/or emitter position to a target IR.
 
@@ -147,11 +149,22 @@ def fit_scene_parameters(
 
     theta = theta0
     losses = []
-    for i in range(steps):
+    start_step = 0
+    if checkpoint_path is not None:
+        from .checkpoint import load_fit_state, save_fit_state
+
+        restored = load_fit_state(checkpoint_path, theta0, opt_state)
+        if restored is not None:
+            start_step, theta, opt_state, losses = restored
+
+    for i in range(start_step, steps):
         theta, opt_state, loss = step_fn(theta, opt_state)
         losses.append(float(loss))
         if callback is not None:
             callback(i, float(loss), theta)
+        if (checkpoint_path is not None
+                and ((i + 1) % checkpoint_every == 0 or i + 1 == steps)):
+            save_fit_state(checkpoint_path, i + 1, theta, opt_state, losses)
 
     out: dict = {}
     if fit_absorption:

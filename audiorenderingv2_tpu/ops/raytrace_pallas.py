@@ -2,36 +2,42 @@
 
 This is the speed-of-light path replacing the reference's OptiX launch
 (devicePrograms.cu:192-254). The XLA tracer in core/tracer.py materializes
-[rays, tris] intermediates to HBM on every bounce (measured ~20G pair-tests/s,
-HBM-bound); this kernel keeps the ENTIRE bounce loop on-chip:
+[rays, tris] intermediates to HBM on every bounce (measured ~20G pair-tests/s);
+this kernel keeps the bounce loop on-chip and adds the scheduling the SIMT
+model can't express:
 
-  * grid over ray tiles; each tile of R rays runs its whole bounce loop in
-    one kernel invocation with all state in VMEM/registers,
-  * triangle data (17 packed rows) lives in VMEM, reused across all bounces,
+  * grid over ray tiles; each tile of R rays advances in lockstep with all
+    state resident in VMEM — triangle data (17 packed rows) is loaded once
+    and reused across all bounces,
   * the per-bounce intersection processes R rays x 128-triangle lane chunks
     as pure VPU ops ([R, 1] ray state broadcast against [1, 128] triangle
     rows) — candidate t, barycentric inside-tests, running min — with the
     winning triangle's shading attributes (unit normal, absorption) extracted
     by masked lane reductions instead of gathers,
-  * per-tile early exit: a while_loop ends as soon as every ray in the tile
-    is done (receiver hit, miss, or past the distance/energy/bounce limits),
-  * HBM traffic per ray for the whole trace: read 12 B of direction, write
-    12 B of event — versus ~kilobytes per bounce for the XLA path.
+  * per-tile early exit: the while_loop ends as soon as every ray in the
+    tile is done (receiver hit, miss, or past the distance/energy/bounce
+    limits); an all-done tile costs zero bounce iterations,
+  * **ray compaction between bounce rounds**: tracing runs in rounds with
+    geometrically growing bounce budgets; between rounds the (still
+    on-device) ray state is sorted alive-first, so surviving long-tail rays
+    pack into a few dense tiles instead of keeping every tile alive. This is
+    the TPU answer to SIMT divergence: the reference's 1M-thread launch pays
+    for its longest ray per warp; here the tail of deep rays collapses into
+    a fraction of the grid.
 
-Outputs are the same per-ray event slots (fractional arrival bin, deposited
-energy, ear) consumed by the sort-based histogram in core/binning.py; the
-physics exactly matches core/tracer.py and the numpy oracle (see
-tests/test_pallas.py). Forward-only: gradient work uses the differentiable
-XLA scan path.
+Ray state lives in one [N, 16] float32 array (columns below) that is kernel
+input AND aliased output, so rounds chain without copies; compaction is one
+argsort + gather between rounds. Events (fractional arrival bin, deposited
+energy, ear) ride along as state columns and feed the sort-based histogram
+in core/binning.py. Physics matches core/tracer.py and the numpy oracle
+exactly (tests/test_pallas.py). Forward-only: gradients use the XLA scan.
 """
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -51,7 +57,28 @@ _ROWS = 17
 _NSCAL = 16
 (_S_EMX, _S_EMY, _S_EMZ, _S_RCX, _S_RCY, _S_RCZ,
  _S_SINY, _S_COSY, _S_E0, _S_ETHR, _S_DTHR, _S_BINRATE,
- _S_NREAL, _S_R2, _S_PAD14, _S_PAD15) = range(_NSCAL)
+ _S_R2, _S_PAD13, _S_PAD14, _S_PAD15) = range(_NSCAL)
+
+# Ray-state columns ([N, 16] float32).
+_NCOLS = 16
+(_C_PX, _C_PY, _C_PZ, _C_VX, _C_VY, _C_VZ,
+ _C_DIST, _C_EN, _C_DEPTH, _C_DONE,
+ _C_EVB, _C_EVW, _C_EVE, _C_PAD13, _C_PAD14, _C_PAD15) = range(_NCOLS)
+
+# Cluster-AABB rows ([8, n_clusters] float32; see accel.ClusterData).
+_CLUS_ROWS = 8
+(_B_LOX, _B_LOY, _B_LOZ, _B_HIX, _B_HIY, _B_HIZ,
+ _B_PAD6, _B_PAD7) = range(_CLUS_ROWS)
+
+
+def pack_clusters(clusters) -> jax.Array:
+    """Pack accel.ClusterData into the [8, C] row layout."""
+    c = clusters.n_clusters
+    rows = jnp.zeros((_CLUS_ROWS, c), jnp.float32)
+    rows = rows.at[_B_LOX].set(clusters.lo_x).at[_B_LOY].set(clusters.lo_y)
+    rows = rows.at[_B_LOZ].set(clusters.lo_z).at[_B_HIX].set(clusters.hi_x)
+    rows = rows.at[_B_HIY].set(clusters.hi_y).at[_B_HIZ].set(clusters.hi_z)
+    return rows
 
 
 def pack_tris(sc: SceneArrays) -> jax.Array:
@@ -66,7 +93,7 @@ def pack_tris(sc: SceneArrays) -> jax.Array:
     return rows.astype(jnp.float32)
 
 
-def _scalars(emitter, rec, yaw_rad, e0, params: TraceParams, n_real: int) -> jax.Array:
+def _scalars(emitter, rec, yaw_rad, e0, params: TraceParams) -> jax.Array:
     vals = jnp.zeros((1, _NSCAL), jnp.float32)
     vals = vals.at[0, _S_EMX].set(emitter[0]).at[0, _S_EMY].set(emitter[1]).at[0, _S_EMZ].set(emitter[2])
     vals = vals.at[0, _S_RCX].set(rec[0]).at[0, _S_RCY].set(rec[1]).at[0, _S_RCZ].set(rec[2])
@@ -75,46 +102,49 @@ def _scalars(emitter, rec, yaw_rad, e0, params: TraceParams, n_real: int) -> jax
     vals = vals.at[0, _S_ETHR].set(params.energy_threshold)
     vals = vals.at[0, _S_DTHR].set(params.distance_threshold)
     vals = vals.at[0, _S_BINRATE].set(params.sample_rate / constants.SPEED_OF_SOUND)
-    vals = vals.at[0, _S_NREAL].set(float(n_real))
     vals = vals.at[0, _S_R2].set(constants.RECEIVER_RADIUS ** 2)
     return vals
 
 
-def _trace_kernel(scal_ref, dirs_ref, tris_ref,
-                  bin_ref, w_ref, ear_ref,
-                  *, rays_per_tile: int, n_chunks: int, max_bounces: int):
+def init_state(directions: jax.Array, emitter: jax.Array, e0,
+               n_pad: int) -> jax.Array:
+    """Build the [n_pad, 16] initial ray state; pad rays start done."""
+    n = directions.shape[0]
+    state = jnp.zeros((n_pad, _NCOLS), jnp.float32)
+    state = state.at[:, _C_PX].set(emitter[0])
+    state = state.at[:, _C_PY].set(emitter[1])
+    state = state.at[:, _C_PZ].set(emitter[2])
+    state = state.at[:n, _C_VX].set(directions[:, 0])
+    state = state.at[:n, _C_VY].set(directions[:, 1])
+    state = state.at[:n, _C_VZ].set(directions[:, 2])
+    state = state.at[:n, _C_EN].set(e0)
+    if n_pad > n:
+        state = state.at[n:, _C_DONE].set(1.0)
+    return state
+
+
+def _trace_round_kernel(scal_ref, tris_ref, state_ref, out_ref,
+                        *, rays_per_tile: int, n_chunks: int,
+                        max_bounces: int, round_budget: int):
     r = rays_per_tile
     s = lambda j: scal_ref[0, j]
     inf = jnp.float32(jnp.inf)
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 1)
-
-    dx = dirs_ref[:, 0:1]
-    dy = dirs_ref[:, 1:2]
-    dz = dirs_ref[:, 2:3]
-
-    # Padding rays (global index >= n_real) start with zero energy and are
-    # never alive (energy > threshold fails, matching the XLA tracer).
-    tile0 = pl.program_id(0) * r
-    gidx = tile0 + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
-    energy0 = jnp.where(gidx.astype(jnp.float32) < s(_S_NREAL), s(_S_E0), 0.0)
-
+    col = lambda k: state_ref[:, k:k + 1]
     zero = jnp.zeros((r, 1), jnp.float32)
+
     init = (
         jnp.int32(0),
-        zero + s(_S_EMX), zero + s(_S_EMY), zero + s(_S_EMZ),  # pos
-        dx, dy, dz,                                            # dir
-        zero,                                                  # dist
-        energy0,                                               # energy
-        jnp.zeros((r, 1), jnp.float32),                        # depth
-        jnp.zeros((r, 1), jnp.float32),                        # done mask
-        zero, zero, zero,                                      # event slots
+        col(_C_PX), col(_C_PY), col(_C_PZ),
+        col(_C_VX), col(_C_VY), col(_C_VZ),
+        col(_C_DIST), col(_C_EN), col(_C_DEPTH), col(_C_DONE),
+        col(_C_EVB), col(_C_EVW), col(_C_EVE),
     )
 
     def cond(carry):
         i = carry[0]
         done = carry[10]
-        return (i < max_bounces) & (jnp.max(1.0 - done) > 0.0)
+        return (i < round_budget) & (jnp.max(1.0 - done) > 0.0)
 
     def body(carry):
         (i, px, py, pz, vx, vy, vz, dist, energy, depth, done,
@@ -214,16 +244,73 @@ def _trace_kernel(scal_ref, dirs_ref, tris_ref,
         return (i + 1, px, py, pz, vx, vy, vz, dist, energy, depth, done,
                 ev_bin, ev_w, ev_ear)
 
-    final = jax.lax.while_loop(cond, body, init)
-    *_, ev_bin, ev_w, ev_ear = final
-    bin_ref[:, :] = ev_bin
-    w_ref[:, :] = ev_w
-    ear_ref[:, :] = ev_ear
+    (_, px, py, pz, vx, vy, vz, dist, energy, depth, done,
+     ev_bin, ev_w, ev_ear) = jax.lax.while_loop(cond, body, init)
+
+    out_ref[:, _C_PX:_C_PX + 1] = px
+    out_ref[:, _C_PY:_C_PY + 1] = py
+    out_ref[:, _C_PZ:_C_PZ + 1] = pz
+    out_ref[:, _C_VX:_C_VX + 1] = vx
+    out_ref[:, _C_VY:_C_VY + 1] = vy
+    out_ref[:, _C_VZ:_C_VZ + 1] = vz
+    out_ref[:, _C_DIST:_C_DIST + 1] = dist
+    out_ref[:, _C_EN:_C_EN + 1] = energy
+    out_ref[:, _C_DEPTH:_C_DEPTH + 1] = depth
+    out_ref[:, _C_DONE:_C_DONE + 1] = done
+    out_ref[:, _C_EVB:_C_EVB + 1] = ev_bin
+    out_ref[:, _C_EVW:_C_EVW + 1] = ev_w
+    out_ref[:, _C_EVE:_C_EVE + 1] = ev_ear
+    out_ref[:, _C_PAD13:] = jnp.zeros((rays_per_tile, _NCOLS - _C_PAD13),
+                                      jnp.float32)
+
+
+def _round_schedule(max_bounces: int, first: int = 4) -> list[int]:
+    """Geometric per-round bounce budgets summing to >= max_bounces.
+
+    Early rounds are short (most rays die fast — escape or reach the
+    receiver); later rounds are long but run on the compacted survivors."""
+    budgets = []
+    total = 0
+    b = first
+    while total < max_bounces:
+        b = min(b, max_bounces - total)
+        budgets.append(b)
+        total += b
+        b *= 2
+    return budgets
+
+
+def trace_round(state, tris_packed, scal, params: TraceParams,
+                rays_per_tile: int, round_budget: int,
+                interpret: bool = False) -> jax.Array:
+    """Advance every ray by up to ``round_budget`` bounces."""
+    n_pad = state.shape[0]
+    r = rays_per_tile
+    t_total = tris_packed.shape[1]
+    n_chunks = t_total // _LANES
+    kernel = functools.partial(
+        _trace_round_kernel, rays_per_tile=r, n_chunks=n_chunks,
+        max_bounces=params.max_bounces, round_budget=round_budget)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // r,),
+        in_specs=[
+            pl.BlockSpec((1, _NSCAL), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_ROWS, t_total), lambda i: (0, 0)),
+            pl.BlockSpec((r, _NCOLS), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, _NCOLS), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, _NCOLS), jnp.float32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(scal, tris_packed, state)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "rays_per_tile", "n_total_rays", "interpret"))
+    static_argnames=("params", "rays_per_tile", "n_total_rays", "interpret",
+                     "compact"))
 def trace_events_pallas(
     tris_packed: jax.Array,
     directions: jax.Array,
@@ -234,62 +321,44 @@ def trace_events_pallas(
     rays_per_tile: int = 256,
     n_total_rays: int | None = None,
     interpret: bool = False,
+    compact: bool = True,
 ):
-    """Trace rays with the fused kernel.
+    """Trace rays with the fused kernel in compacting rounds.
 
     Args:
       tris_packed: [17, T] from :func:`pack_tris`; T a multiple of 128.
       directions: [N, 3] unit directions (padded internally to whole tiles).
+      compact: sort ray state alive-first between rounds (cheap argsort +
+        gather; disable only for debugging).
     Returns (ev_bin_f [N], ev_w [N], ev_ear [N]) event slots.
     """
     n = directions.shape[0]
     n_real = n_total_rays if n_total_rays is not None else n
     r = rays_per_tile
     n_pad = ((n + r - 1) // r) * r
-    dirs = jnp.asarray(directions, jnp.float32)
-    if n_pad != n:
-        dirs = jnp.pad(dirs, ((0, n_pad - n), (0, 0)))
-    n_tiles = n_pad // r
 
-    t_total = tris_packed.shape[1]
-    if t_total % _LANES:
-        raise ValueError(f"triangle count {t_total} not a multiple of {_LANES}")
-    n_chunks = t_total // _LANES
+    if tris_packed.shape[1] % _LANES:
+        raise ValueError(f"triangle count {tris_packed.shape[1]} not a "
+                         f"multiple of {_LANES}")
 
     e0 = params.base_power / (n_real * constants.SPHERE_VOLUME)
     yaw_rad = jnp.deg2rad(jnp.asarray(receiver_yaw_deg, jnp.float32))
     scal = _scalars(jnp.asarray(emitter, jnp.float32),
                     jnp.asarray(receiver_pos, jnp.float32),
-                    yaw_rad, e0, params, n)
+                    yaw_rad, e0, params)
 
-    kernel = functools.partial(
-        _trace_kernel, rays_per_tile=r, n_chunks=n_chunks,
-        max_bounces=params.max_bounces)
+    state = init_state(jnp.asarray(directions, jnp.float32),
+                       jnp.asarray(emitter, jnp.float32), e0, n_pad)
 
-    out_shape = [
-        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-    ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, _NSCAL), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((r, 3), lambda i: (i, 0)),
-            pl.BlockSpec((_ROWS, t_total), lambda i: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((r, 1), lambda i: (i, 0)),
-            pl.BlockSpec((r, 1), lambda i: (i, 0)),
-            pl.BlockSpec((r, 1), lambda i: (i, 0)),
-        ],
-    )
-    ev_bin, ev_w, ev_ear = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(scal, dirs, tris_packed)
-    return ev_bin[:n, 0], ev_w[:n, 0], ev_ear[:n, 0].astype(jnp.int32)
+    budgets = _round_schedule(params.max_bounces) if compact else [params.max_bounces]
+    for k, budget in enumerate(budgets):
+        state = trace_round(state, tris_packed, scal, params, r, budget,
+                            interpret)
+        if compact and k + 1 < len(budgets):
+            order = jnp.argsort(state[:, _C_DONE], stable=True)
+            state = jnp.take(state, order, axis=0)
+
+    # Compaction reorders rays, so all n_pad slots are returned; padding rays
+    # carry zero weight and are dropped by the histogram's overflow bucket.
+    return (state[:, _C_EVB], state[:, _C_EVW],
+            state[:, _C_EVE].astype(jnp.int32))

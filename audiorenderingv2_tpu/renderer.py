@@ -88,6 +88,11 @@ class AudioRenderer:
         self._draws = 0
         self._ir: np.ndarray | None = None
         self._fns: dict = {}
+        # Debug dumps mirroring the reference's one-shot flags
+        # (AudioRenderer.cpp:525-567, 720-744; config write_first_* keys).
+        self.write_ir_to_file_flag = False
+        self.write_output_to_file_flag = False
+        self.dump_dir = "."
         # Serializes full_render_cycle against concurrent audio pulls, the
         # role of the reference's output_buffer_mutex (AudioRenderer.cpp:790).
         self.lock = threading.RLock()
@@ -148,12 +153,30 @@ class AudioRenderer:
             jnp.asarray(self.receiver_pos),
             jnp.float32(self.receiver_yaw_deg))
         self._ir = np.asarray(ir)
+        if self.write_ir_to_file_flag:
+            self.dump_ir()
+            self.write_ir_to_file_flag = False  # one-shot, like the reference
         return self._ir
 
     @property
     def ir(self) -> np.ndarray | None:
         """Last rendered IR, [2, ir_length]."""
         return self._ir
+
+    def dump_ir(self, prefix: str = "output_ir") -> tuple[str, str]:
+        """Write the current IR as one-value-per-line text files, the
+        reference's debug-dump format consumed by the plotting utils
+        (AudioRenderer.cpp:525-567; utils/printIR.py)."""
+        import os
+
+        if self._ir is None:
+            raise RuntimeError("render() an IR first")
+        paths = []
+        for name, channel in (("left", self._ir[0]), ("right", self._ir[1])):
+            path = os.path.join(self.dump_dir, f"{prefix}_{name}.txt")
+            np.savetxt(path, channel, fmt="%.9g")
+            paths.append(path)
+        return tuple(paths)
 
     # --------------------------------------------------------- convolution
     def convolve_audio_file(self, samples: np.ndarray) -> np.ndarray:
@@ -165,9 +188,18 @@ class AudioRenderer:
         """
         if self._ir is None:
             raise RuntimeError("render() an IR first")
-        return np.asarray(convolve.convolve_file_stereo(
+        out = np.asarray(convolve.convolve_file_stereo(
             jnp.asarray(samples, jnp.float32), jnp.asarray(self._ir),
             self.params.sample_rate))
+        if self.write_output_to_file_flag:
+            import os
+
+            for name, channel in (("left", out[0]), ("right", out[1])):
+                np.savetxt(os.path.join(self.dump_dir,
+                                        f"output_convolute_{name}.txt"),
+                           channel, fmt="%.9g")
+            self.write_output_to_file_flag = False
+        return out
 
     def convolve_live_input(self, block: np.ndarray, ring_buffer) -> None:
         """Convolve one live input block and accumulate into ``ring_buffer``.

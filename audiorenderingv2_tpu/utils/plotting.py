@@ -54,6 +54,39 @@ def plot_signal(x: np.ndarray, sample_rate: int, path: str | Path,
     plt.close(fig)
 
 
+def plot_scene(scene, path: str | Path, emitter=None, receiver=None,
+               title: str = "Scene") -> None:
+    """3-D wireframe of the scene with emitter/receiver markers — the
+    offline stand-in for the reference's OpenGL debug view (Mesh.cpp,
+    assets/shaders)."""
+    plt = _plt()
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    t = scene.n_triangles
+    tris = np.stack([scene.v0[:t], scene.v1[:t], scene.v2[:t]], axis=1)
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    coll = Poly3DCollection(tris, alpha=0.15, facecolor="tab:blue",
+                            edgecolor="gray", linewidths=0.3)
+    ax.add_collection3d(coll)
+    if emitter is not None:
+        e = np.asarray(emitter)
+        ax.scatter(*e, color="tab:red", s=60, label="emitter")
+    if receiver is not None:
+        r = np.asarray(receiver)
+        ax.scatter(*r, color="tab:green", s=60, label="receiver")
+    lo = np.minimum(scene.bounds_min, -1)
+    hi = np.maximum(scene.bounds_max, 1)
+    ax.set_xlim(lo[0], hi[0])
+    ax.set_ylim(lo[1], hi[1])
+    ax.set_zlim(lo[2], hi[2])
+    ax.set_title(title)
+    if emitter is not None or receiver is not None:
+        ax.legend()
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_ir_files(prefix_dir: str | Path, prefix: str, out_path: str | Path,
                   sample_rate: int = 16000) -> int:
     """Batch-plot text IR dumps matching ``prefix*`` (utils/main.py's regex
