@@ -17,10 +17,15 @@ from . import constants
 
 @dataclass
 class MaterialSpec:
-    """Named material absorption (reference: Context.cpp:146-163)."""
+    """Named material absorption (reference: Context.cpp:146-163).
+
+    ``mat_absorption`` is a scalar for broadband behavior (the reference's
+    model) or a tuple of per-band coefficients for frequency-dependent
+    absorption (paired with ``absorption_band_edges``).
+    """
 
     name: str
-    mat_absorption: float
+    mat_absorption: float | tuple
 
 
 @dataclass
@@ -68,11 +73,20 @@ class PathtracerParams:
     # which is what the device code expects (devicePrograms.cu:126).
     hrtf_absorption_rate: float = constants.DEFAULT_HRTF_ABSORPTION
     materials: list[MaterialSpec] = field(default_factory=list)
+    # Crossover frequencies [Hz] for banded absorption; n_bands = len + 1.
+    # Only consulted when some material declares per-band coefficients.
+    absorption_band_edges: tuple = (250.0, 1000.0, 4000.0)
 
     @property
     def n_rays(self) -> int:
         x, y, z = self.rays
         return int(x) * int(y) * int(z)
+
+    @property
+    def n_bands(self) -> int:
+        lens = [len(m.mat_absorption) for m in self.materials
+                if isinstance(m.mat_absorption, (tuple, list))]
+        return max(lens) if lens else 1
 
 
 @dataclass
@@ -128,13 +142,19 @@ def parse_config(data: dict) -> Config:
     p.ray_energy_threshold = float(pp.get("ray_energy_threshold", p.ray_energy_threshold))
     p.ray_max_bounces = int(round(float(pp.get("ray_max_bounces", p.ray_max_bounces))))
     p.hrtf_absorption_rate = float(pp.get("hrtf_absorption_rate", p.hrtf_absorption_rate))
+    edges = pp.get("absorption_band_edges")
+    if isinstance(edges, list) and edges:
+        p.absorption_band_edges = tuple(float(e) for e in edges)
     mats = pp.get("materials")
     if isinstance(mats, list):
-        p.materials = [
-            MaterialSpec(name=str(m["name"]), mat_absorption=float(m["mat_absorption"]))
-            for m in mats
-            if isinstance(m, dict) and "name" in m and "mat_absorption" in m
-        ]
+        parsed = []
+        for m in mats:
+            if not (isinstance(m, dict) and "name" in m and "mat_absorption" in m):
+                continue
+            a = m["mat_absorption"]
+            a = tuple(float(x) for x in a) if isinstance(a, list) else float(a)
+            parsed.append(MaterialSpec(name=str(m["name"]), mat_absorption=a))
+        p.materials = parsed
     return cfg
 
 

@@ -45,6 +45,31 @@ def histogram_sum(bins: jax.Array, weights: jax.Array, n_bins: int) -> jax.Array
     return csum[ends] - csum[starts]
 
 
+def histogram_sum_banded(bins: jax.Array, weights: jax.Array,
+                         n_bins: int) -> jax.Array:
+    """Like :func:`histogram_sum` but weights carry a trailing band axis.
+
+    bins: int [E]; weights: [E, n_bands]. One shared sort of the bin keys
+    (argsort + gather) feeds per-band cumulative sums; the binary-searched
+    segment boundaries are band-independent. Returns [n_bins, n_bands].
+    """
+    bins = bins.reshape(-1)
+    e, n_bands = weights.shape
+    weights = weights.astype(jnp.float32)
+    oob = (bins < 0) | (bins >= n_bins)
+    bins = jnp.where(oob, n_bins, bins).astype(jnp.int32)
+
+    order = jnp.argsort(bins)
+    sorted_bins = bins[order]
+    sorted_w = weights[order]
+    csum = jnp.cumsum(sorted_w, axis=0)
+    csum = jnp.concatenate([jnp.zeros((1, n_bands), jnp.float32), csum], axis=0)
+    edges = jnp.arange(n_bins, dtype=jnp.int32)
+    ends = jnp.searchsorted(sorted_bins, edges, side="right").astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    return csum[ends] - csum[starts]
+
+
 def hard_deposit(bin_f: jax.Array, weight: jax.Array, n_bins: int):
     """Reference-parity binning: bin = round(t * sr) (devicePrograms.cu:132).
 

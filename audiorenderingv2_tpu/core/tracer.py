@@ -10,12 +10,14 @@ devicePrograms.cu:192-254) with a TPU-native design:
   ir_seconds*343+1, energy above threshold, depth below max_bounces}
   (devicePrograms.cu:227-236).
 
-* **Intersection as matmuls.** Instead of per-(ray, triangle) cross products,
-  the scene precomputes plane rows and barycentric rows (scene.py), reducing
-  Möller–Trumbore to six [B, 3] x [3, T] matmuls plus fused elementwise math
-  and a masked min-reduction — MXU/VPU work with no data-dependent branching.
-  Triangles are processed in static chunks so intermediates stay small enough
-  for XLA to keep in VMEM.
+* **Intersection as broadcast dot products.** Instead of per-(ray, triangle)
+  cross products, the scene precomputes plane rows and barycentric rows
+  (scene.py), reducing Möller–Trumbore to six [B, T] broadcast dot products
+  plus fused elementwise math and a masked min-reduction — uniform VPU work
+  with no data-dependent branching. The dots are deliberately elementwise
+  (not jnp.dot): a K=3 matmul would run at the TPU MXU's default single-pass
+  bf16 precision and corrupt the geometry. Triangles are processed in static
+  chunks so intermediates stay small enough for XLA to keep on-chip.
 
 * **Receiver as a parameter.** The listener is an analytic sphere test
   (center, yaw) rather than re-tessellated geometry, so listener movement
@@ -78,6 +80,7 @@ class TracerOptions:
     rays_per_tile: int = 256     # Pallas: rays per kernel tile (VMEM-bound)
     pallas_interpret: bool = False  # Pallas interpreter mode (CPU testing)
     pallas_compact: bool = True  # Pallas: sort alive rays between rounds
+    pallas_version: int = 2      # 1 = rays-in-sublanes; 2 = rays-in-lanes+MXU
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
@@ -137,15 +140,24 @@ def _intersect_block(sc: SceneArrays, pos: jax.Array, dirn: jax.Array,
         jnp.arange(n_chunks, dtype=jnp.int32) * tri_chunk,
     )
 
+    def dot3(a, b):
+        # Explicit broadcast multiply-add instead of jnp.dot: a K=3 matmul
+        # would hit the MXU at its default single-pass bf16 precision on TPU
+        # (8-bit mantissa geometry -> phantom ray misses); elementwise VPU
+        # math stays exact float32 at the same cost.
+        return (a[:, None, 0] * b[None, :, 0]
+                + a[:, None, 1] * b[None, :, 1]
+                + a[:, None, 2] * b[None, :, 2])
+
     def chunk_step(carry, chunk):
         t_best, i_best = carry
         pn, pd, au, auo, av, avo, vmask, base = chunk
-        nd = dirn @ pn.T                       # [B, Tc]
-        no = pos @ pn.T + pd[None, :]
+        nd = dot3(dirn, pn)                    # [B, Tc]
+        no = dot3(pos, pn) + pd[None, :]
         safe = jnp.abs(nd) > 1e-12
         t = -no / jnp.where(safe, nd, 1.0)
-        u = (pos @ au.T + auo[None, :]) + t * (dirn @ au.T)
-        v = (pos @ av.T + avo[None, :]) + t * (dirn @ av.T)
+        u = (dot3(pos, au) + auo[None, :]) + t * dot3(dirn, au)
+        v = (dot3(pos, av) + avo[None, :]) + t * dot3(dirn, av)
         ok = (safe & (t > constants.T_MIN)
               & (u >= -_BARY_EPS) & (v >= -_BARY_EPS)
               & (u + v <= 1.0 + _BARY_EPS) & (vmask[None, :] > 0))
@@ -190,18 +202,18 @@ class _RayState(NamedTuple):
     pos: jax.Array       # [B, 3]
     dirn: jax.Array      # [B, 3]
     dist: jax.Array      # [B]
-    energy: jax.Array    # [B]
+    energy: jax.Array    # [B, n_bands]
     depth: jax.Array     # [B] int32
     done: jax.Array      # [B] bool
     ev_bin_f: jax.Array  # [B] fractional arrival bin of the (single) deposit
-    ev_w: jax.Array      # [B] deposited energy
+    ev_w: jax.Array      # [B, n_bands] deposited energy
     ev_ear: jax.Array    # [B] int32, 0 left / 1 right
 
 
 def _bounce_step(state: _RayState, sc: SceneArrays, rec_center, yaw_rad,
                  params: TraceParams, opts: TracerOptions) -> _RayState:
     can_continue = ((state.dist < params.distance_threshold)
-                    & (state.energy > params.energy_threshold)
+                    & (jnp.max(state.energy, axis=-1) > params.energy_threshold)
                     & (state.depth < params.max_bounces))
     alive = ~state.done & can_continue
 
@@ -224,7 +236,8 @@ def _bounce_step(state: _RayState, sc: SceneArrays, rec_center, yaw_rad,
     bin_f = dist_r * (params.sample_rate / constants.SPEED_OF_SOUND)
 
     ev_bin_f = jnp.where(receiver, bin_f, state.ev_bin_f)
-    ev_w = jnp.where(receiver, state.energy * chord, state.ev_w)
+    ev_w = jnp.where(receiver[:, None], state.energy * chord[:, None],
+                     state.ev_w)
     ev_ear = jnp.where(receiver, ear, state.ev_ear)
 
     # --- surface bounce: specular reflect, absorb, offset, advance ---
@@ -234,13 +247,15 @@ def _bounce_step(state: _RayState, sc: SceneArrays, rec_center, yaw_rad,
     hit_p = state.pos + t_tri_safe[:, None] * state.dirn
     new_pos = hit_p + constants.BOUNCE_EPSILON * refl
     absorb = sc.absorption[tri]
+    if absorb.ndim == 1:
+        absorb = absorb[:, None]  # broadband -> broadcast over bands
 
     sm = surface[:, None]
     return _RayState(
         pos=jnp.where(sm, new_pos, state.pos),
         dirn=jnp.where(sm, refl, state.dirn),
         dist=jnp.where(surface, state.dist + t_tri_safe, state.dist),
-        energy=jnp.where(surface, state.energy * (1.0 - absorb), state.energy),
+        energy=jnp.where(sm, state.energy * (1.0 - absorb), state.energy),
         depth=jnp.where(surface, state.depth + 1, state.depth),
         # distance/energy/depth limits are monotonic, so a ray failing them
         # now can never revive — mark it done so the early-exit while_loop
@@ -260,11 +275,11 @@ def _trace_block(dirs_block, energy0, sc, emitter, rec_center, yaw_rad,
         pos=jnp.broadcast_to(emitter[None, :], (b, 3)).astype(jnp.float32),
         dirn=dirs_block,
         dist=jnp.zeros((b,), jnp.float32),
-        energy=energy0,
+        energy=jnp.broadcast_to(energy0[:, None], (b, params.n_bands)),
         depth=jnp.zeros((b,), jnp.int32),
         done=jnp.zeros((b,), bool),
         ev_bin_f=jnp.zeros((b,), jnp.float32),
-        ev_w=jnp.zeros((b,), jnp.float32),
+        ev_w=jnp.zeros((b, params.n_bands), jnp.float32),
         ev_ear=jnp.zeros((b,), jnp.int32),
     )
     step = functools.partial(_bounce_step, sc=sc, rec_center=rec_center,
@@ -289,9 +304,25 @@ def _trace_block(dirs_block, energy0, sc, emitter, rec_center, yaw_rad,
     return state.ev_bin_f, state.ev_w, state.ev_ear
 
 
+def _slot_bins(bin_f: jax.Array, active: jax.Array, n_bins: int, soft: bool):
+    """Per-event deposit slots: (bins [E, S], interpolation fracs [E, S])."""
+    if soft:
+        b0 = jnp.floor(bin_f)
+        frac = bin_f - b0
+        b0i = b0.astype(jnp.int32)
+        bins = jnp.stack([jnp.where(active, b0i, n_bins),
+                          jnp.where(active, b0i + 1, n_bins)], axis=-1)
+        fracs = jnp.stack([1.0 - frac, frac], axis=-1)
+    else:
+        b = jnp.round(bin_f).astype(jnp.int32)
+        bins = jnp.where(active, b, n_bins)[..., None]
+        fracs = jnp.ones_like(bin_f)[..., None]
+    return bins, fracs
+
+
 def _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params: TraceParams,
                          soft: bool):
-    """Expand per-ray events into (flat_bin, weight) deposit slots.
+    """Expand per-ray events into (flat_bin [E*S], weight [E*S, n_bands]).
 
     Flat layout: left ear occupies [0, n_bins), right [n_bins, 2*n_bins);
     out-of-range deposits get the overflow index 2*n_bins and are dropped by
@@ -300,34 +331,52 @@ def _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params: TraceParams,
     bin overflows (devicePrograms.cu:124-168).
     """
     nb = params.ir_length
-    deposit = binning.soft_deposit if soft else binning.hard_deposit
+    active = jnp.any(ev_w != 0.0, axis=-1)
 
-    def flatten(bins, ws, ear):
+    def flatten(bins, fracs, band_w, ear):
         in_range = (bins >= 0) & (bins < nb)
         flat = jnp.where(in_range, ear[:, None] * nb + bins, 2 * nb)
+        ws = fracs[:, :, None] * band_w[:, None, :]  # [E, S, n_bands]
         return flat, ws
 
     slots = []
-    same_bins, same_ws = deposit(ev_bin_f, ev_w, nb)
-    slots.append(flatten(same_bins, same_ws, ev_ear))
+    same_bins, same_fracs = _slot_bins(ev_bin_f, active, nb, soft)
+    slots.append(flatten(same_bins, same_fracs, ev_w, ev_ear))
 
     if not params.is_mono:
         delay = params.cross_ear_delay
         cross_w = ev_w * (1.0 - params.hrtf_absorption_rate)
         other = 1 - ev_ear
         if soft:
-            cross_bins, cross_ws = deposit(ev_bin_f + delay, cross_w, nb)
-            slots.append(flatten(cross_bins, cross_ws, other))
+            cross_bins, cross_fracs = _slot_bins(ev_bin_f + delay, active, nb,
+                                                 soft)
+            slots.append(flatten(cross_bins, cross_fracs, cross_w, other))
         else:
             base = jnp.round(ev_bin_f).astype(jnp.int32)
             cb = jnp.where(base + delay < nb, base + delay, base)
             # Only deposit when the base bin itself was in range.
-            cb = jnp.where((base >= 0) & (base < nb) & (ev_w != 0.0), cb, nb)
-            slots.append(flatten(cb[:, None], cross_w[:, None], other))
+            cb = jnp.where((base >= 0) & (base < nb) & active, cb, nb)
+            fr = jnp.ones_like(ev_bin_f)[..., None]
+            slots.append(flatten(cb[:, None], fr, cross_w, other))
 
-    flat = jnp.concatenate([s[0] for s in slots], axis=-1)
-    ws = jnp.concatenate([s[1] for s in slots], axis=-1)
-    return flat, ws
+    flat = jnp.concatenate([s[0] for s in slots], axis=1).reshape(-1)
+    ws = jnp.concatenate([s[1] for s in slots], axis=1)
+    return flat, ws.reshape(-1, params.n_bands)
+
+
+def _histogram_from_events(ev_bin_f, ev_w, ev_ear, params: TraceParams,
+                           soft: bool) -> jax.Array:
+    """Events -> stereo (optionally banded) IR histogram.
+
+    ev_bin_f [E], ev_w [E, n_bands], ev_ear [E]. Returns [2, ir_length] for
+    one band, [2, n_bands, ir_length] otherwise.
+    """
+    flat, ws = _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params, soft)
+    hist = binning.histogram_sum_banded(flat, ws, 2 * params.ir_length)
+    hist = hist.reshape(2, params.ir_length, params.n_bands)
+    if params.n_bands == 1:
+        return hist[:, :, 0]
+    return jnp.transpose(hist, (0, 2, 1))
 
 
 def trace_ir(
@@ -353,29 +402,34 @@ def trace_ir(
         traces one shard of a larger launch (energy = base_power /
         (n_total * sphere_volume), devicePrograms.cu:207-208).
 
-    Returns float32 [2, ir_length] (left, right). Mono folding is applied by
-    the renderer layer (kernels.cu:519-536), not here.
+    Returns float32 [2, ir_length] (left, right), or
+    [2, n_bands, ir_length] when params.n_bands > 1. Mono folding is applied
+    by the renderer layer (kernels.cu:519-536), not here.
     """
     n = directions.shape[0]
     n_total = n_total_rays if n_total_rays is not None else n
 
-    if opts.backend == "pallas":
-        # Fused on-chip trace kernel (forward-only; falls back to the XLA
-        # path automatically when gradients are needed via opts.backend).
+    if opts.backend == "pallas" and params.n_bands == 1:
+        # Fused on-chip trace kernel (forward-only, single-band; banded and
+        # gradient work use the XLA path).
         from ..ops import raytrace_pallas as rp
 
+        if opts.pallas_version == 2:
+            from ..ops import raytrace_pallas_v2 as rp2
+
+            tris_packed = rp2.pack_tris_v2(sc)
+        else:
+            tris_packed = rp.pack_tris(sc)
         ev_bin_f, ev_w, ev_ear = rp.trace_events_pallas(
-            rp.pack_tris(sc), jnp.asarray(directions, jnp.float32),
+            tris_packed, jnp.asarray(directions, jnp.float32),
             jnp.asarray(emitter, jnp.float32),
             jnp.asarray(receiver_pos, jnp.float32),
             jnp.asarray(receiver_yaw_deg, jnp.float32),
             params, rays_per_tile=opts.rays_per_tile,
             n_total_rays=n_total, interpret=opts.pallas_interpret,
-            compact=opts.pallas_compact)
-        flat, ws = _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params,
-                                        opts.soft_binning)
-        hist = binning.histogram_sum(flat, ws, 2 * params.ir_length)
-        return hist.reshape(2, params.ir_length)
+            compact=opts.pallas_compact, version=opts.pallas_version)
+        return _histogram_from_events(ev_bin_f, ev_w[:, None], ev_ear, params,
+                                      opts.soft_binning)
 
     block = min(opts.block_size, n)
     n_pad = ((n + block - 1) // block) * block
@@ -403,8 +457,6 @@ def trace_ir(
 
     ev_bin_f, ev_w, ev_ear = jax.lax.map(block_fn, (dirs, energy0))
 
-    flat, ws = _events_to_flat_bins(
-        ev_bin_f.reshape(-1), ev_w.reshape(-1), ev_ear.reshape(-1),
-        params, opts.soft_binning)
-    hist = binning.histogram_sum(flat, ws, 2 * params.ir_length)
-    return hist.reshape(2, params.ir_length)
+    return _histogram_from_events(
+        ev_bin_f.reshape(-1), ev_w.reshape(-1, params.n_bands),
+        ev_ear.reshape(-1), params, opts.soft_binning)

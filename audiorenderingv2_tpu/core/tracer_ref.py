@@ -45,6 +45,10 @@ class TraceParams:
     max_bounces: int = 10
     hrtf_absorption_rate: float = constants.DEFAULT_HRTF_ABSORPTION
     is_mono: bool = False
+    # Frequency bands for per-band absorption (1 = the reference's broadband
+    # behavior). With B > 1 the scene's absorption is [T, B], rays carry a
+    # per-band energy vector, and the IR gains a band axis [2, B, bins].
+    n_bands: int = 1
 
     @property
     def distance_threshold(self) -> float:
@@ -131,8 +135,9 @@ def trace_ir_reference(
       n_total_rays: energy normalizer when this call traces a shard of a
         larger launch.
 
-    Returns float64 [2, ir_length] — (left, right). Mono folding
-    (kernels.cu:519-536) is applied by the renderer, not here.
+    Returns float64 [2, ir_length] (or [2, n_bands, ir_length] for banded
+    absorption) — (left, right). Mono folding (kernels.cu:519-536) is
+    applied by the renderer, not here.
     """
     t_tris = scene.n_triangles
     v0 = scene.v0[:t_tris].astype(np.float64)
@@ -151,7 +156,11 @@ def trace_ir_reference(
     n_total = n_total_rays if n_total_rays is not None else n
     e0 = params.base_power / (n_total * constants.SPHERE_VOLUME)
 
-    ir = np.zeros((2, params.ir_length), dtype=np.float64)
+    n_bands = params.n_bands
+    if absorption.ndim == 1:
+        absorption = absorption[:, None]  # broadcast broadband over bands
+
+    ir = np.zeros((2, n_bands, params.ir_length), dtype=np.float64)
     delay = params.cross_ear_delay
     dist_thresh = params.distance_threshold
 
@@ -159,23 +168,23 @@ def trace_ir_reference(
         d = directions[r]
         pos = emitter.copy()
         dist = 0.0
-        energy = e0
+        energy = np.full(n_bands, e0)
         depth = 0
-        while (dist < dist_thresh and energy > params.energy_threshold
+        while (dist < dist_thresh and energy.max() > params.energy_threshold
                and 0 <= depth < params.max_bounces):
             t_tri, tri = _intersect_brute(pos, d, v0, v1, v2)
             t_sph, chord = _sphere_entry(pos, d, center)
             if t_sph < t_tri:
                 dist += t_sph
-                energy *= chord
+                energy = energy * chord
                 p = pos + t_sph * d
                 ear = _ear_of_point(p, center, receiver_yaw_deg)
                 b = int(round(dist / constants.SPEED_OF_SOUND * params.sample_rate))
                 if b < params.ir_length:
-                    ir[ear, b] += energy
+                    ir[ear, :, b] += energy
                     if not params.is_mono:
                         cb = b + delay if b + delay < params.ir_length else b
-                        ir[1 - ear, cb] += energy * (1.0 - params.hrtf_absorption_rate)
+                        ir[1 - ear, :, cb] += energy * (1.0 - params.hrtf_absorption_rate)
                 break
             if not np.isfinite(t_tri):
                 break  # miss kills the ray (devicePrograms.cu:186-190)
@@ -183,7 +192,7 @@ def trace_ir_reference(
             p = pos + t_tri * d
             nrm = normal[tri]
             d = d - 2.0 * np.dot(d, nrm) * nrm
-            energy *= 1.0 - absorption[tri]
+            energy = energy * (1.0 - absorption[tri])
             depth += 1
             pos = p + constants.BOUNCE_EPSILON * d
-    return ir
+    return ir if n_bands > 1 else ir[:, 0, :]

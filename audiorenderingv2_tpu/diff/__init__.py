@@ -1,13 +1,17 @@
 from .inverse import (
     FitResult,
+    coarse_emitter_search,
+    emitter_grid,
     fit_scene_parameters,
     ir_loss,
     material_ids_padded,
     render_soft_ir,
+    smooth_ir,
     with_material_absorption,
 )
 
 __all__ = [
-    "FitResult", "fit_scene_parameters", "ir_loss", "material_ids_padded",
-    "render_soft_ir", "with_material_absorption",
+    "FitResult", "coarse_emitter_search", "emitter_grid",
+    "fit_scene_parameters", "ir_loss", "material_ids_padded",
+    "render_soft_ir", "smooth_ir", "with_material_absorption",
 ]

@@ -50,9 +50,35 @@ def with_material_absorption(sc: SceneArrays, mat_ids: jax.Array,
     return sc._replace(absorption=per_material[mat_ids])
 
 
-def ir_loss(pred: jax.Array, target: jax.Array, kind: str = "l2") -> jax.Array:
+def smooth_ir(ir: jax.Array, radius: int) -> jax.Array:
+    """Box-filter the time axis 3x (~Gaussian of sigma ~ radius).
+
+    Soft binning only provides gradient support of +-1 bin (~4 cm of path
+    length); smoothing both predicted and target IRs before the loss widens
+    the pose-optimization basin to +-3*radius bins. Cumsum-based, O(n),
+    differentiable."""
+    if radius <= 0:
+        return ir
+    n = ir.shape[-1]
+    kernel_norm = 1.0 / (2 * radius + 1)
+
+    def box(x):
+        c = jnp.cumsum(x, axis=-1)
+        c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+        hi = jnp.clip(jnp.arange(n) + radius + 1, 0, n)
+        lo = jnp.clip(jnp.arange(n) - radius, 0, n)
+        return (c[..., hi] - c[..., lo]) * kernel_norm
+
+    return box(box(box(ir)))
+
+
+def ir_loss(pred: jax.Array, target: jax.Array, kind: str = "l2",
+            smooth_radius: int = 0) -> jax.Array:
     """Scalar IR discrepancy. 'l2' on raw energies; 'log' compares
-    log(1+ir/scale) which balances early strong arrivals vs the tail."""
+    log(1+ir/scale) which balances early strong arrivals vs the tail.
+    ``smooth_radius`` box-filters both IRs first (see :func:`smooth_ir`)."""
+    pred = smooth_ir(pred, smooth_radius)
+    target = smooth_ir(target, smooth_radius)
     if kind == "l2":
         return jnp.mean((pred - target) ** 2)
     if kind == "log":
@@ -94,6 +120,7 @@ def fit_scene_parameters(
     learning_rate: float = 0.05,
     opts: TracerOptions = TracerOptions(block_size=4096),
     loss_kind: str = "log",
+    smooth_radius: int = 0,
     seed: int = 0,
     callback: Callable[[int, float, dict], None] | None = None,
     checkpoint_path: str | None = None,
@@ -113,13 +140,22 @@ def fit_scene_parameters(
 
     dirs = sampling.sample_directions(jax.random.PRNGKey(seed), n_rays)
     target_ir = jnp.asarray(target_ir, jnp.float32)
-    rec = jnp.asarray(receiver_pos, jnp.float32)
-    yaw = jnp.float32(receiver_yaw_deg)
+    # One receiver [3] or several [L, 3]: multiple receivers make source-pose
+    # recovery well-posed (a single IR is nearly invariant to source
+    # direction at fixed distance). With [L, 3], target_ir is [L, 2, bins].
+    recs = jnp.atleast_2d(jnp.asarray(receiver_pos, jnp.float32))
+    yaws = jnp.broadcast_to(jnp.asarray(receiver_yaw_deg, jnp.float32),
+                            (recs.shape[0],))
+    multi_rec = jnp.asarray(receiver_pos).ndim > 1
+    if multi_rec and target_ir.ndim == 2:
+        raise ValueError("multiple receivers need target_ir [L, 2, bins]")
 
     theta0: dict = {}
     if fit_absorption:
-        logit = float(np.log(init_absorption / (1.0 - init_absorption)))
-        theta0["absorption_logits"] = jnp.full((n_mats + 1,), logit, jnp.float32)
+        init_a = np.clip(np.asarray(init_absorption, np.float32), 1e-4, 1 - 1e-4)
+        logits = np.log(init_a / (1.0 - init_a))
+        theta0["absorption_logits"] = jnp.broadcast_to(
+            jnp.asarray(logits, jnp.float32), (n_mats + 1,))
     if fit_emitter:
         theta0["emitter"] = jnp.asarray(init_emitter, jnp.float32)
     if not theta0:
@@ -133,10 +169,12 @@ def fit_scene_parameters(
             per_mat = jax.nn.sigmoid(theta["absorption_logits"])
             sc_t = with_material_absorption(sc_t, mat_ids, per_mat)
         emitter = theta.get("emitter", fixed_emitter)
-        return trace_ir(sc_t, dirs, emitter, rec, yaw, params, opts)
+        irs = [trace_ir(sc_t, dirs, emitter, recs[i], yaws[i], params, opts)
+               for i in range(recs.shape[0])]
+        return jnp.stack(irs) if multi_rec else irs[0]
 
     def loss_fn(theta):
-        return ir_loss(predict(theta), target_ir, loss_kind)
+        return ir_loss(predict(theta), target_ir, loss_kind, smooth_radius)
 
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(theta0)
@@ -172,6 +210,60 @@ def fit_scene_parameters(
     if fit_emitter:
         out["emitter"] = np.asarray(theta["emitter"])
     return FitResult(params=out, losses=np.asarray(losses))
+
+
+def coarse_emitter_search(
+    scene: Scene,
+    target_ir: jax.Array,
+    params: TraceParams,
+    *,
+    candidates: np.ndarray,
+    receiver_pos,
+    receiver_yaw_deg=0.0,
+    n_rays: int = 2048,
+    opts: TracerOptions = TracerOptions(block_size=4096),
+    loss_kind: str = "log",
+    smooth_radius: int = 32,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate the IR loss at candidate emitter positions; returns
+    (best_position [3], losses [n_candidates]).
+
+    Why this exists: the tracer's autodiff gradient has fixed path topology —
+    it cannot see rays that would start/stop hitting the receiver under a
+    parameter change, so source-pose descent stalls in spurious basins more
+    than ~1 m from the truth (the measured gradient-convergent basin). A
+    coarse grid costs one forward render per candidate (no gradients) and
+    lands refinement inside the basin. See examples/demo_4_inverse.py.
+    """
+    opts = _diff_opts(opts)
+    sc = scene_to_arrays(scene, opts.tri_chunk)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(seed), n_rays)
+    target_ir = jnp.asarray(target_ir, jnp.float32)
+    recs = jnp.atleast_2d(jnp.asarray(receiver_pos, jnp.float32))
+    yaws = jnp.broadcast_to(jnp.asarray(receiver_yaw_deg, jnp.float32),
+                            (recs.shape[0],))
+    multi = jnp.asarray(receiver_pos).ndim > 1
+
+    @jax.jit
+    def loss_at(emitter):
+        irs = [trace_ir(sc, dirs, emitter, recs[i], yaws[i], params, opts)
+               for i in range(recs.shape[0])]
+        pred = jnp.stack(irs) if multi else irs[0]
+        return ir_loss(pred, target_ir, loss_kind, smooth_radius)
+
+    candidates = np.asarray(candidates, np.float32).reshape(-1, 3)
+    losses = np.array([float(loss_at(jnp.asarray(c))) for c in candidates])
+    return candidates[int(np.argmin(losses))], losses
+
+
+def emitter_grid(bounds_min, bounds_max, spacing: float = 2.0) -> np.ndarray:
+    """Regular grid of candidate positions inside an AABB (for
+    :func:`coarse_emitter_search`)."""
+    axes = [np.arange(lo + spacing / 2, hi, spacing)
+            for lo, hi in zip(np.asarray(bounds_min), np.asarray(bounds_max))]
+    grid = np.meshgrid(*axes, indexing="ij")
+    return np.stack([g.reshape(-1) for g in grid], axis=-1).astype(np.float32)
 
 
 def render_soft_ir(scene: Scene, params: TraceParams, *, n_rays: int,

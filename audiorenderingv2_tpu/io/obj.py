@@ -135,16 +135,30 @@ def resolve_absorption(
     """Per-material-id absorption from the config's material table.
 
     Names not present in the table get ``default`` (=0.5), matching the
-    reference (AudioRenderer.cpp:47-55). Returns float32 [n_materials + 1];
-    the final slot is the absorption for faces with no material (id -1),
+    reference (AudioRenderer.cpp:47-55). Returns float32 [n_materials + 1]
+    (broadband) or [n_materials + 1, n_bands] when any config material
+    declares per-band coefficients; scalar materials broadcast across bands.
+    The final slot is the absorption for faces with no material (id -1),
     also ``default``.
     """
-    table = {m.name: float(m.mat_absorption) for m in materials_cfg}
-    out = np.full(len(material_names) + 1, default, dtype=np.float32)
+    lens = [len(m.mat_absorption) for m in materials_cfg
+            if isinstance(m.mat_absorption, (tuple, list))]
+    n_bands = max(lens) if lens else 1
+
+    def as_bands(a):
+        if isinstance(a, (tuple, list)):
+            if len(a) != n_bands:
+                raise ValueError(
+                    f"material with {len(a)} bands in a {n_bands}-band table")
+            return np.asarray(a, np.float32)
+        return np.full(n_bands, float(a), np.float32)
+
+    table = {m.name: as_bands(m.mat_absorption) for m in materials_cfg}
+    out = np.full((len(material_names) + 1, n_bands), default, dtype=np.float32)
     for i, name in enumerate(material_names):
         if name in table:
             out[i] = table[name]
-    return out
+    return out[:, 0] if n_bands == 1 else out
 
 
 def tri_absorption(mesh: MeshData, materials_cfg: list,

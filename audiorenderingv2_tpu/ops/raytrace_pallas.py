@@ -310,9 +310,9 @@ def trace_round(state, tris_packed, scal, params: TraceParams,
 @functools.partial(
     jax.jit,
     static_argnames=("params", "rays_per_tile", "n_total_rays", "interpret",
-                     "compact"))
+                     "compact", "version"))
 def trace_events_pallas(
-    tris_packed: jax.Array,
+    tris_packed,
     directions: jax.Array,
     emitter: jax.Array,
     receiver_pos: jax.Array,
@@ -322,24 +322,25 @@ def trace_events_pallas(
     n_total_rays: int | None = None,
     interpret: bool = False,
     compact: bool = True,
+    version: int = 1,
 ):
     """Trace rays with the fused kernel in compacting rounds.
 
     Args:
-      tris_packed: [17, T] from :func:`pack_tris`; T a multiple of 128.
+      tris_packed: [17, T] from :func:`pack_tris` (v1), or the
+        (coeffs, attrs) pair from ``raytrace_pallas_v2.pack_tris_v2`` (v2);
+        T a multiple of 128.
       directions: [N, 3] unit directions (padded internally to whole tiles).
       compact: sort ray state alive-first between rounds (cheap argsort +
         gather; disable only for debugging).
-    Returns (ev_bin_f [N], ev_w [N], ev_ear [N]) event slots.
+      version: 1 = rays-in-sublanes kernel, 2 = rays-in-lanes + MXU kernel.
+    Returns (ev_bin_f [N], ev_w [N], ev_ear [N]) event slots (length n_pad;
+    padding rays carry zero weight).
     """
     n = directions.shape[0]
     n_real = n_total_rays if n_total_rays is not None else n
-    r = rays_per_tile
+    r = rays_per_tile if version == 1 else _LANES
     n_pad = ((n + r - 1) // r) * r
-
-    if tris_packed.shape[1] % _LANES:
-        raise ValueError(f"triangle count {tris_packed.shape[1]} not a "
-                         f"multiple of {_LANES}")
 
     e0 = params.base_power / (n_real * constants.SPHERE_VOLUME)
     yaw_rad = jnp.deg2rad(jnp.asarray(receiver_yaw_deg, jnp.float32))
@@ -350,10 +351,28 @@ def trace_events_pallas(
     state = init_state(jnp.asarray(directions, jnp.float32),
                        jnp.asarray(emitter, jnp.float32), e0, n_pad)
 
+    if version == 2:
+        from . import raytrace_pallas_v2 as v2
+
+        coeffs, attrs = tris_packed
+
+        def run_round(st, budget):
+            tiles = v2.to_tiles(st)
+            tiles = v2.trace_round_v2(tiles, coeffs, attrs, scal, params,
+                                      budget, interpret)
+            return v2.from_tiles(tiles)
+    else:
+        if tris_packed.shape[1] % _LANES:
+            raise ValueError(f"triangle count {tris_packed.shape[1]} not a "
+                             f"multiple of {_LANES}")
+
+        def run_round(st, budget):
+            return trace_round(st, tris_packed, scal, params, r, budget,
+                               interpret)
+
     budgets = _round_schedule(params.max_bounces) if compact else [params.max_bounces]
     for k, budget in enumerate(budgets):
-        state = trace_round(state, tris_packed, scal, params, r, budget,
-                            interpret)
+        state = run_round(state, budget)
         if compact and k + 1 < len(budgets):
             order = jnp.argsort(state[:, _C_DONE], stable=True)
             state = jnp.take(state, order, axis=0)

@@ -1,0 +1,267 @@
+"""Pallas trace kernel v2: rays-in-lanes layout + MXU intersection.
+
+The v1 kernel (raytrace_pallas.py) keeps per-ray state as [R, 1] columns —
+every op occupies full 128-lane tiles, so state updates cost as much as the
+intersection itself. v2 restructures the tile:
+
+  * a tile is 128 rays living in the LANE dimension: every per-ray state
+    array is [1, 128] — one vector register — so the whole bounce-update
+    (sphere test, reflection, masks, event capture) is ~50 single-register
+    VPU ops instead of ~40 x 32-register ops,
+  * triangles advance in SUBLANE groups of 8: each intersection step
+    processes an [8 tris, 128 rays] block,
+  * the six Möller–Trumbore dot products (plane + barycentric rows against
+    ray origin/direction) become ONE MXU matmul per group: a precomputed
+    [48, 8] coefficient matrix (6 quantities x 8 triangles, 8 columns =
+    (px,py,pz,vx,vy,vz,1,0)) multiplies the [8, 128] packed ray coordinates,
+    yielding all six [8, 128] quantity blocks in a single dot — the VPU only
+    runs the compare/select/min tail,
+  * the winning triangle's attributes come from sublane-masked reductions
+    (first-sublane tie-break == argmin semantics),
+  * triangle groups are walked with a fori_loop + dynamic VMEM slices, so
+    code size is independent of scene size.
+
+Same ray-state columns, round scheduling, and compaction driver as v1
+(the driver in raytrace_pallas.py dispatches on ``version``); physics is
+identical to the XLA tracer and the numpy oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants
+from ..core.tracer import SceneArrays
+from ..core.tracer_ref import TraceParams
+from . import raytrace_pallas as v1
+
+_LANES = 128
+_GROUP = 8          # triangles per sublane group
+_NQ = 6             # dot-product quantities: no, nd, ou, du, ov, dv
+_AROWS = _NQ * _GROUP  # rows of the per-group MXU coefficient matrix
+
+# Transposed triangle attribute columns ([T, 4]): unit normal + absorption.
+_TN_COLS = 8
+(_T_NX, _T_NY, _T_NZ, _T_ABS, _T_VAL, _T_PAD5, _T_PAD6, _T_PAD7) = range(_TN_COLS)
+
+
+def pack_tris_v2(sc: SceneArrays):
+    """Build (coeff [T/8*48, 8], attrs [T, 8]) for the v2 kernel.
+
+    coeff row layout per 8-triangle group g: rows [g*48 + q*8 + i] hold the
+    8 PD-coefficients of quantity q for triangle g*8+i, with PD =
+    (px, py, pz, vx, vy, vz, 1, 0):
+      no = pn . p + pd     nd = pn . v
+      ou = au . p + u_off  du = au . v
+      ov = av . p + v_off  dv = av . v
+    """
+    t = sc.plane_n.shape[0]
+    if t % _GROUP:
+        raise ValueError(f"triangle count {t} not a multiple of {_GROUP}")
+    zeros = jnp.zeros((t,), jnp.float32)
+
+    def coeff(vec3, offset, on_pos):
+        # [T, 8] coefficient rows for  vec3 . (p|v) + offset
+        x, y, z = vec3[:, 0], vec3[:, 1], vec3[:, 2]
+        if on_pos:
+            return jnp.stack([x, y, z, zeros, zeros, zeros, offset, zeros], axis=1)
+        return jnp.stack([zeros, zeros, zeros, x, y, z, zeros, zeros], axis=1)
+
+    q = jnp.stack([
+        coeff(sc.plane_n, sc.plane_d, True),
+        coeff(sc.plane_n, zeros, False),
+        coeff(sc.bary_u, sc.u_off, True),
+        coeff(sc.bary_u, zeros, False),
+        coeff(sc.bary_v, sc.v_off, True),
+        coeff(sc.bary_v, zeros, False),
+    ], axis=1)  # [T, 6 quantities, 8 coefficients]
+    # rows per group: (quantity, tri-in-group) -> [G, 6, 8tri, 8coef]
+    coeffs = q.reshape(t // _GROUP, _GROUP, _NQ, 8).transpose(0, 2, 1, 3)
+    coeffs = coeffs.reshape(t // _GROUP * _AROWS, 8).astype(jnp.float32)
+
+    attrs = jnp.stack([
+        sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
+        sc.absorption, sc.valid, zeros, zeros, zeros,
+    ], axis=1).astype(jnp.float32)  # [T, 8]
+    return coeffs, attrs
+
+
+def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, state_ref, out_ref,
+                           *, n_groups: int, max_bounces: int,
+                           round_budget: int):
+    s = lambda j: scal_ref[0, j]
+    inf = jnp.float32(jnp.inf)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _LANES), 0)
+    col = lambda k: state_ref[0, k]  # [1, 128]
+    zero = jnp.zeros((1, _LANES), jnp.float32)
+    ones = jnp.ones((1, _LANES), jnp.float32)
+    C = v1  # column indices shared with v1
+
+    init = (
+        jnp.int32(0),
+        col(C._C_PX), col(C._C_PY), col(C._C_PZ),
+        col(C._C_VX), col(C._C_VY), col(C._C_VZ),
+        col(C._C_DIST), col(C._C_EN), col(C._C_DEPTH), col(C._C_DONE),
+        col(C._C_EVB), col(C._C_EVW), col(C._C_EVE),
+    )
+
+    def cond(carry):
+        i = carry[0]
+        done = carry[10]
+        return (i < round_budget) & (jnp.max(1.0 - done) > 0.0)
+
+    def body(carry):
+        (i, px, py, pz, vx, vy, vz, dist, energy, depth, done,
+         ev_bin, ev_w, ev_ear) = carry
+
+        can_continue = ((dist < s(C._S_DTHR)) & (energy > s(C._S_ETHR))
+                        & (depth < jnp.float32(max_bounces)))
+        alive = (done == 0.0) & can_continue
+
+        # Packed ray coordinates for the MXU: [8, 128].
+        pd8 = jnp.concatenate([px, py, pz, vx, vy, vz, ones, zero], axis=0)
+
+        def group_step(g, best):
+            best_t, bnx, bny, bnz, bab = best
+            a = coeff_ref[pl.ds(g * _AROWS, _AROWS), :]          # [48, 8]
+            # HIGHEST precision: multi-pass bf16 == f32 accuracy. Default
+            # single-pass bf16 corrupts geometry (8-bit mantissa positions).
+            out = jnp.dot(a, pd8, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)   # [48, 128]
+            no, nd = out[0:8], out[8:16]
+            ou, du = out[16:24], out[24:32]
+            ov, dv = out[32:40], out[40:48]
+            at = attr_ref[pl.ds(g * _GROUP, _GROUP), :]           # [8, 8]
+
+            safe = jnp.abs(nd) > 1e-12
+            t = -no / jnp.where(safe, nd, 1.0)
+            u = ou + t * du
+            v = ov + t * dv
+            ok = (safe & (t > constants.T_MIN)
+                  & (u >= -1e-7) & (v >= -1e-7) & (u + v <= 1.0 + 1e-7)
+                  & (at[:, _T_VAL:_T_VAL + 1] > 0))
+            tm = jnp.where(ok, t, inf)
+            gt = jnp.min(tm, axis=0, keepdims=True)               # [1, 128]
+            better = gt < best_t
+            win_sub = jnp.min(jnp.where(tm <= gt, sub, _GROUP),
+                              axis=0, keepdims=True)
+            win = sub == win_sub
+            pick = lambda k: jnp.sum(
+                jnp.where(win, at[:, k:k + 1], 0.0), axis=0, keepdims=True)
+            return (jnp.where(better, gt, best_t),
+                    jnp.where(better, pick(_T_NX), bnx),
+                    jnp.where(better, pick(_T_NY), bny),
+                    jnp.where(better, pick(_T_NZ), bnz),
+                    jnp.where(better, pick(_T_ABS), bab))
+
+        best_t, bnx, bny, bnz, bab = jax.lax.fori_loop(
+            0, n_groups, group_step,
+            (jnp.full((1, _LANES), inf), zero, zero, zero, zero))
+
+        # ---- receiver sphere ----
+        ocx = px - s(C._S_RCX)
+        ocy = py - s(C._S_RCY)
+        ocz = pz - s(C._S_RCZ)
+        b = ocx * vx + ocy * vy + ocz * vz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - s(C._S_R2)
+        disc = b * b - cc
+        sph_hit = disc > 0.0
+        sq = jnp.sqrt(jnp.where(sph_hit, disc, 0.0))
+        t1 = -b - sq
+        t2 = -b + sq
+        t_sph = jnp.where(sph_hit & (t1 > constants.T_MIN), t1,
+                          jnp.where(sph_hit & (t2 > constants.T_MIN), t2, inf))
+        chord = t2 - t1
+
+        receiver = alive & (t_sph < best_t)
+        surface = alive & jnp.logical_not(receiver) & (best_t < inf)
+        miss = alive & jnp.logical_not(receiver) & jnp.logical_not(surface)
+
+        t_sph_safe = jnp.where(t_sph < inf, t_sph, 0.0)
+        dist_r = dist + t_sph_safe
+        hx = px + t_sph_safe * vx - s(C._S_RCX)
+        hz = pz + t_sph_safe * vz - s(C._S_RCZ)
+        local_z = -s(C._S_SINY) * hx + s(C._S_COSY) * hz
+        ear = (local_z >= 0.0).astype(jnp.float32)
+        ev_bin = jnp.where(receiver, dist_r * s(C._S_BINRATE), ev_bin)
+        ev_w = jnp.where(receiver, energy * chord, ev_w)
+        ev_ear = jnp.where(receiver, ear, ev_ear)
+
+        t_hit = jnp.where(best_t < inf, best_t, 0.0)
+        dn = vx * bnx + vy * bny + vz * bnz
+        rx = vx - 2.0 * dn * bnx
+        ry = vy - 2.0 * dn * bny
+        rz = vz - 2.0 * dn * bnz
+        eps = jnp.float32(constants.BOUNCE_EPSILON)
+        px = jnp.where(surface, px + t_hit * vx + eps * rx, px)
+        py = jnp.where(surface, py + t_hit * vy + eps * ry, py)
+        pz = jnp.where(surface, pz + t_hit * vz + eps * rz, pz)
+        vx = jnp.where(surface, rx, vx)
+        vy = jnp.where(surface, ry, vy)
+        vz = jnp.where(surface, rz, vz)
+        dist = jnp.where(surface, dist + t_hit, dist)
+        energy = jnp.where(surface, energy * (1.0 - bab), energy)
+        depth = jnp.where(surface, depth + 1.0, depth)
+        newly_done = receiver | miss | jnp.logical_not(can_continue)
+        done = jnp.maximum(done, newly_done.astype(jnp.float32))
+
+        return (i + 1, px, py, pz, vx, vy, vz, dist, energy, depth, done,
+                ev_bin, ev_w, ev_ear)
+
+    (_, px, py, pz, vx, vy, vz, dist, energy, depth, done,
+     ev_bin, ev_w, ev_ear) = jax.lax.while_loop(cond, body, init)
+
+    for k, val in ((C._C_PX, px), (C._C_PY, py), (C._C_PZ, pz),
+                   (C._C_VX, vx), (C._C_VY, vy), (C._C_VZ, vz),
+                   (C._C_DIST, dist), (C._C_EN, energy),
+                   (C._C_DEPTH, depth), (C._C_DONE, done),
+                   (C._C_EVB, ev_bin), (C._C_EVW, ev_w), (C._C_EVE, ev_ear),
+                   (C._C_PAD13, zero), (C._C_PAD14, zero), (C._C_PAD15, zero)):
+        out_ref[0, k] = val
+
+
+def trace_round_v2(state, coeffs, attrs, scal, params: TraceParams,
+                   round_budget: int, interpret: bool = False) -> jax.Array:
+    """Advance every ray by up to ``round_budget`` bounces (v2 layout).
+
+    ``state``: [n_tiles, NCOLS, 1, 128] (see ``to_tiles``/``from_tiles``).
+    """
+    n_tiles = state.shape[0]
+    t_total = attrs.shape[0]
+    kernel = functools.partial(
+        _trace_round_kernel_v2, n_groups=t_total // _GROUP,
+        max_bounces=params.max_bounces, round_budget=round_budget)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, v1._NSCAL), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(coeffs.shape, lambda i: (0, 0)),
+            pl.BlockSpec(attrs.shape, lambda i: (0, 0)),
+            pl.BlockSpec((1, v1._NCOLS, 1, _LANES), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, v1._NCOLS, 1, _LANES),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(scal, coeffs, attrs, state)
+
+
+def to_tiles(state: jax.Array) -> jax.Array:
+    """[N, NCOLS] -> [n_tiles, NCOLS, 1, 128] (N a multiple of 128)."""
+    n = state.shape[0]
+    return state.reshape(n // _LANES, _LANES, v1._NCOLS).transpose(0, 2, 1) \
+        .reshape(n // _LANES, v1._NCOLS, 1, _LANES)
+
+
+def from_tiles(tiles: jax.Array) -> jax.Array:
+    """Inverse of :func:`to_tiles`."""
+    n_tiles = tiles.shape[0]
+    return tiles.reshape(n_tiles, v1._NCOLS, _LANES).transpose(0, 2, 1) \
+        .reshape(n_tiles * _LANES, v1._NCOLS)

@@ -62,6 +62,7 @@ class AudioRenderer:
         is_mono: bool = False,
         opts: TracerOptions | None = None,
         seed: int = 0,
+        band_edges: tuple = (250.0, 1000.0, 4000.0),
     ):
         self.scene = scene
         self.n_rays = int(n_rays)
@@ -72,6 +73,11 @@ class AudioRenderer:
             opts = TracerOptions(backend=backend)
         self.opts = opts
         self.sc = scene_to_arrays(scene, self.opts.tri_chunk)
+        # Banded absorption ([T, n_bands]) switches the whole pipeline to
+        # per-band IRs + filterbank auralization.
+        n_bands = (scene.absorption.shape[1]
+                   if scene.absorption.ndim == 2 else 1)
+        self.band_edges = tuple(band_edges)
         self.params = TraceParams(
             sample_rate=int(sample_rate),
             ir_length=int(ir_seconds) * int(sample_rate),
@@ -80,6 +86,7 @@ class AudioRenderer:
             max_bounces=int(max_bounces),
             hrtf_absorption_rate=float(hrtf_absorption_rate),
             is_mono=bool(is_mono),
+            n_bands=n_bands,
         )
         self.emitter_pos = np.zeros(3, np.float32)
         self.receiver_pos = np.zeros(3, np.float32)
@@ -188,9 +195,16 @@ class AudioRenderer:
         """
         if self._ir is None:
             raise RuntimeError("render() an IR first")
-        out = np.asarray(convolve.convolve_file_stereo(
-            jnp.asarray(samples, jnp.float32), jnp.asarray(self._ir),
-            self.params.sample_rate))
+        if self._ir.ndim == 3:  # banded IR -> filterbank auralization
+            from .ops import filterbank
+
+            out = np.asarray(filterbank.convolve_file_banded(
+                jnp.asarray(samples, jnp.float32), jnp.asarray(self._ir),
+                self.params.sample_rate, self.band_edges))
+        else:
+            out = np.asarray(convolve.convolve_file_stereo(
+                jnp.asarray(samples, jnp.float32), jnp.asarray(self._ir),
+                self.params.sample_rate))
         if self.write_output_to_file_flag:
             import os
 
@@ -217,7 +231,15 @@ class AudioRenderer:
             raise ValueError("live block longer than the IR")
         padded = np.zeros(n, np.float32)
         padded[: block.shape[0]] = block
-        out = convolve.convolve_live(jnp.asarray(padded), jnp.asarray(self._ir))
+        if self._ir.ndim == 3:
+            from .ops import filterbank
+
+            out = filterbank.convolve_live_banded(
+                jnp.asarray(padded), jnp.asarray(self._ir),
+                self.params.sample_rate, self.band_edges)
+        else:
+            out = convolve.convolve_live(jnp.asarray(padded),
+                                         jnp.asarray(self._ir))
         inter = np.asarray(convolve.interleave_stereo(out[0], out[1]))
         ring_buffer.add(inter)
 

@@ -12,9 +12,10 @@ from audiorenderingv2_tpu.core import sampling, tracer_ref
 SR = 16000
 
 
-def pallas_opts(**kw):
+def pallas_opts(version=1, **kw):
     d = dict(block_size=256, tri_chunk=128, backend="pallas",
-             rays_per_tile=128, pallas_interpret=True)
+             rays_per_tile=128, pallas_interpret=True,
+             pallas_version=version)
     d.update(kw)
     return ar.TracerOptions(**d)
 
@@ -25,11 +26,12 @@ def xla_opts(**kw):
     return ar.TracerOptions(**d)
 
 
+@pytest.mark.parametrize("version", [1, 2])
 @pytest.mark.parametrize("scene_fn,rec", [
     (lambda: testing.box_room((12.0, 8.0, 10.0)), [2.0, 0.0, 1.0]),
     (lambda: testing.icosphere(radius=6.0, subdivisions=2), [1.5, 0.5, -1.0]),
 ])
-def test_pallas_matches_xla(scene_fn, rec):
+def test_pallas_matches_xla(scene_fn, rec, version):
     v, t = scene_fn()
     scene = testing.scene_from_arrays(v, t, 0.3)
     sc = ar.scene_to_arrays(scene, 128)
@@ -37,13 +39,15 @@ def test_pallas_matches_xla(scene_fn, rec):
                             max_bounces=6)
     dirs = sampling.sample_directions(jax.random.PRNGKey(4), 256)
     rec = jnp.asarray(rec, jnp.float32)
-    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 25.0, params, pallas_opts()))
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 25.0, params,
+                               pallas_opts(version)))
     b = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 25.0, params, xla_opts()))
     assert a.sum() > 0
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
 
 
-def test_pallas_matches_oracle():
+@pytest.mark.parametrize("version", [1, 2])
+def test_pallas_matches_oracle(version):
     v, t = testing.box_room((10.0, 9.0, 8.0))
     scene = testing.scene_from_arrays(v, t, 0.25)
     sc = ar.scene_to_arrays(scene, 128)
@@ -54,7 +58,7 @@ def test_pallas_matches_oracle():
         scene, dirs, np.zeros(3), np.array([1.0, 1.0, -2.0]), -30.0, params)
     ir_pl = np.asarray(ar.trace_ir(
         sc, jnp.asarray(dirs), jnp.zeros(3), jnp.array([1.0, 1.0, -2.0]),
-        -30.0, params, pallas_opts()))
+        -30.0, params, pallas_opts(version)))
     np.testing.assert_allclose(ir_pl, ir_ref, rtol=2e-3, atol=1e-8)
 
 
