@@ -81,6 +81,8 @@ class TracerOptions:
     pallas_interpret: bool = False  # Pallas interpreter mode (CPU testing)
     pallas_compact: bool = True  # Pallas: sort alive rays between rounds
     pallas_version: int = 2      # 1 = rays-in-sublanes; 2 = rays-in-lanes+MXU
+    pallas_native_rng: bool = False  # v2: generate directions on-chip
+                                 # (faster; different stream than jax.random)
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
@@ -370,10 +372,33 @@ def _histogram_from_events(ev_bin_f, ev_w, ev_ear, params: TraceParams,
 
     ev_bin_f [E], ev_w [E, n_bands], ev_ear [E]. Returns [2, ir_length] for
     one band, [2, n_bands, ir_length] otherwise.
+
+    Hard-binning fast path: only the same-ear deposits are sorted; the
+    cross-ear contribution (devicePrograms.cu:136-167) is derived from the
+    finished histograms by a shift — cross[j] = (1-hrtf) * (same[j-delay]
+    + same[j] for the last `delay` bins, the reference's overflow fallback)
+    — which is exact and halves the event-sort size.
     """
-    flat, ws = _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params, soft)
-    hist = binning.histogram_sum_banded(flat, ws, 2 * params.ir_length)
-    hist = hist.reshape(2, params.ir_length, params.n_bands)
+    nb = params.ir_length
+    if not soft and not params.is_mono:
+        active = jnp.any(ev_w != 0.0, axis=-1)
+        b = jnp.round(ev_bin_f).astype(jnp.int32)
+        flat = jnp.where(active & (b >= 0) & (b < nb),
+                         ev_ear * nb + b, 2 * nb)
+        hist = binning.histogram_sum_banded(flat, ev_w, 2 * nb)
+        hist = hist.reshape(2, nb, params.n_bands)
+        scale = 1.0 - params.hrtf_absorption_rate
+        delay = params.cross_ear_delay
+        shifted = jnp.roll(hist, delay, axis=1)
+        mask = (jnp.arange(nb) >= delay)[None, :, None]
+        tail = (jnp.arange(nb) >= nb - delay)[None, :, None]
+        cross = scale * (jnp.where(mask, shifted, 0.0)
+                         + jnp.where(tail, hist, 0.0))
+        hist = hist + cross[::-1]  # each ear receives the OTHER ear's cross
+    else:
+        flat, ws = _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params, soft)
+        hist = binning.histogram_sum_banded(flat, ws, 2 * nb)
+        hist = hist.reshape(2, nb, params.n_bands)
     if params.n_bands == 1:
         return hist[:, :, 0]
     return jnp.transpose(hist, (0, 2, 1))
@@ -460,3 +485,46 @@ def trace_ir(
     return _histogram_from_events(
         ev_bin_f.reshape(-1), ev_w.reshape(-1, params.n_bands),
         ev_ear.reshape(-1), params, opts.soft_binning)
+
+
+def render_ir(
+    sc: SceneArrays,
+    key: jax.Array,
+    n_rays: int,
+    emitter: jax.Array,
+    receiver_pos: jax.Array,
+    receiver_yaw_deg: jax.Array | float,
+    params: TraceParams,
+    opts: TracerOptions = TracerOptions(),
+    n_total_rays: int | None = None,
+) -> jax.Array:
+    """Keyed render: sample (or on-chip generate) directions and trace.
+
+    With ``opts.pallas_native_rng`` on the v2 Pallas backend, direction
+    generation happens inside the init kernel (per-tile TPU PRNG seeded from
+    the key) — no [N, 3] array ever materializes. Otherwise directions come
+    from core/sampling (jax.random, the stream the oracle tests share).
+    """
+    if (opts.backend == "pallas" and opts.pallas_native_rng
+            and opts.pallas_version == 2 and params.n_bands == 1
+            # the TPU PRNG primitives have no CPU/interpret lowering
+            and not opts.pallas_interpret):
+        from ..ops import raytrace_pallas as rp
+        from ..ops import raytrace_pallas_v2 as rp2
+
+        seed = jax.random.randint(key, (), 0, 2**30)
+        ev_bin_f, ev_w, ev_ear = rp.trace_events_pallas(
+            rp2.pack_tris_v2(sc), None,
+            jnp.asarray(emitter, jnp.float32),
+            jnp.asarray(receiver_pos, jnp.float32),
+            jnp.asarray(receiver_yaw_deg, jnp.float32),
+            params, n_total_rays=n_total_rays,
+            interpret=opts.pallas_interpret, compact=opts.pallas_compact,
+            version=2, native_rng_seed=seed, n_rays=n_rays)
+        return _histogram_from_events(ev_bin_f, ev_w[:, None], ev_ear,
+                                      params, opts.soft_binning)
+    from . import sampling
+
+    dirs = sampling.sample_directions(key, n_rays)
+    return trace_ir(sc, dirs, emitter, receiver_pos, receiver_yaw_deg,
+                    params, opts, n_total_rays)

@@ -264,11 +264,15 @@ def _trace_round_kernel(scal_ref, tris_ref, state_ref, out_ref,
                                       jnp.float32)
 
 
-def _round_schedule(max_bounces: int, first: int = 4) -> list[int]:
+def _round_schedule(max_bounces: int, first: int = 6,
+                    growth: int = 4) -> list[int]:
     """Geometric per-round bounce budgets summing to >= max_bounces.
 
     Early rounds are short (most rays die fast — escape or reach the
-    receiver); later rounds are long but run on the compacted survivors."""
+    receiver); later rounds are long but run on the compacted survivors.
+    Each round boundary costs an argsort+gather compaction (~70 ms at 1M
+    rays on v5e), so the schedule is deliberately coarse: 100 bounces ->
+    [6, 24, 70], i.e. two compactions."""
     budgets = []
     total = 0
     b = first
@@ -276,7 +280,7 @@ def _round_schedule(max_bounces: int, first: int = 4) -> list[int]:
         b = min(b, max_bounces - total)
         budgets.append(b)
         total += b
-        b *= 2
+        b *= growth
     return budgets
 
 
@@ -310,10 +314,10 @@ def trace_round(state, tris_packed, scal, params: TraceParams,
 @functools.partial(
     jax.jit,
     static_argnames=("params", "rays_per_tile", "n_total_rays", "interpret",
-                     "compact", "version"))
+                     "compact", "version", "n_rays"))
 def trace_events_pallas(
     tris_packed,
-    directions: jax.Array,
+    directions: jax.Array | None,
     emitter: jax.Array,
     receiver_pos: jax.Array,
     receiver_yaw_deg: jax.Array | float,
@@ -323,6 +327,8 @@ def trace_events_pallas(
     interpret: bool = False,
     compact: bool = True,
     version: int = 1,
+    native_rng_seed: jax.Array | None = None,
+    n_rays: int | None = None,
 ):
     """Trace rays with the fused kernel in compacting rounds.
 
@@ -330,14 +336,22 @@ def trace_events_pallas(
       tris_packed: [17, T] from :func:`pack_tris` (v1), or the
         (coeffs, attrs) pair from ``raytrace_pallas_v2.pack_tris_v2`` (v2);
         T a multiple of 128.
-      directions: [N, 3] unit directions (padded internally to whole tiles).
-      compact: sort ray state alive-first between rounds (cheap argsort +
-        gather; disable only for debugging).
+      directions: [N, 3] unit directions (padded internally to whole tiles),
+        or None with ``native_rng_seed`` + ``n_rays`` set (v2 only): the
+        init kernel then generates directions on-chip.
+      compact: sort ray state alive-first between rounds (argsort + gather;
+        disable only for debugging).
       version: 1 = rays-in-sublanes kernel, 2 = rays-in-lanes + MXU kernel.
     Returns (ev_bin_f [N], ev_w [N], ev_ear [N]) event slots (length n_pad;
     padding rays carry zero weight).
     """
-    n = directions.shape[0]
+    if directions is None:
+        if version != 2 or native_rng_seed is None or n_rays is None:
+            raise ValueError("directions=None needs version=2 + "
+                             "native_rng_seed + n_rays")
+        n = n_rays
+    else:
+        n = directions.shape[0]
     n_real = n_total_rays if n_total_rays is not None else n
     r = rays_per_tile if version == 1 else _LANES
     n_pad = ((n + r - 1) // r) * r
@@ -348,34 +362,41 @@ def trace_events_pallas(
                     jnp.asarray(receiver_pos, jnp.float32),
                     yaw_rad, e0, params)
 
-    state = init_state(jnp.asarray(directions, jnp.float32),
-                       jnp.asarray(emitter, jnp.float32), e0, n_pad)
+    budgets = (_round_schedule(params.max_bounces) if compact
+               else [params.max_bounces])
 
     if version == 2:
         from . import raytrace_pallas_v2 as v2
 
         coeffs, attrs = tris_packed
-
-        def run_round(st, budget):
-            tiles = v2.to_tiles(st)
+        if directions is None:
+            scal_seed = scal.at[0, _S_PAD14].set(
+                jnp.asarray(native_rng_seed, jnp.float32))
+            tiles = v2.init_state_tiles(scal_seed, n_pad, n, interpret)
+        else:
+            tiles = v2.to_tiles(init_state(
+                jnp.asarray(directions, jnp.float32),
+                jnp.asarray(emitter, jnp.float32), e0, n_pad))
+        for k, budget in enumerate(budgets):
             tiles = v2.trace_round_v2(tiles, coeffs, attrs, scal, params,
                                       budget, interpret)
-            return v2.from_tiles(tiles)
+            if compact and k + 1 < len(budgets):
+                st = v2.from_tiles(tiles)
+                order = jnp.argsort(st[:, _C_DONE], stable=True)
+                tiles = v2.to_tiles(jnp.take(st, order, axis=0))
+        state = v2.from_tiles(tiles)
     else:
         if tris_packed.shape[1] % _LANES:
             raise ValueError(f"triangle count {tris_packed.shape[1]} not a "
                              f"multiple of {_LANES}")
-
-        def run_round(st, budget):
-            return trace_round(st, tris_packed, scal, params, r, budget,
-                               interpret)
-
-    budgets = _round_schedule(params.max_bounces) if compact else [params.max_bounces]
-    for k, budget in enumerate(budgets):
-        state = run_round(state, budget)
-        if compact and k + 1 < len(budgets):
-            order = jnp.argsort(state[:, _C_DONE], stable=True)
-            state = jnp.take(state, order, axis=0)
+        state = init_state(jnp.asarray(directions, jnp.float32),
+                           jnp.asarray(emitter, jnp.float32), e0, n_pad)
+        for k, budget in enumerate(budgets):
+            state = trace_round(state, tris_packed, scal, params, r, budget,
+                                interpret)
+            if compact and k + 1 < len(budgets):
+                order = jnp.argsort(state[:, _C_DONE], stable=True)
+                state = jnp.take(state, order, axis=0)
 
     # Compaction reorders rays, so all n_pad slots are returned; padding rays
     # carry zero weight and are dropped by the histogram's overflow bucket.

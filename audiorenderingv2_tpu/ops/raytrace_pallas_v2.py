@@ -90,6 +90,61 @@ def pack_tris_v2(sc: SceneArrays):
     return coeffs, attrs
 
 
+def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int):
+    """Initialize the tiled ray state with on-chip generated directions.
+
+    Uses the Pallas TPU PRNG (threefry-free, per-tile seeded) with the same
+    uniform-sphere mapping as core/sampling.py — a different (but equally
+    deterministic) stream than jax.random; parity tests use the explicit
+    directions path instead.
+    """
+    C = v1
+    s = lambda j: scal_ref[0, j]
+    tile = pl.program_id(0)
+    pltpu.prng_seed(scal_ref[0, C._S_PAD14].astype(jnp.int32) + tile)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((2, _LANES)), jnp.uint32)
+    # Mosaic can't cast uint32->f32 directly; after >>8 the value fits int32.
+    to_unit = lambda b: (pltpu.bitcast(b >> 8, jnp.int32).astype(jnp.float32)
+                         * jnp.float32(1.0 / (1 << 24)))
+    theta = 2.0 * jnp.pi * to_unit(bits[0:1])
+    cos_phi = 2.0 * to_unit(bits[1:2]) - 1.0
+    sin_phi = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_phi * cos_phi))
+
+    gidx = tile * _LANES + jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    in_range = gidx.astype(jnp.float32) < jnp.float32(n_real)
+    zero = jnp.zeros((1, _LANES), jnp.float32)
+
+    for k, val in ((C._C_PX, zero + s(C._S_EMX)),
+                   (C._C_PY, zero + s(C._S_EMY)),
+                   (C._C_PZ, zero + s(C._S_EMZ)),
+                   (C._C_VX, sin_phi * jnp.cos(theta)),
+                   (C._C_VY, sin_phi * jnp.sin(theta)),
+                   (C._C_VZ, cos_phi),
+                   (C._C_EN, jnp.where(in_range, s(C._S_E0), 0.0)),
+                   (C._C_DONE, jnp.where(in_range, 0.0, 1.0))):
+        out_ref[0, k] = val
+    for k in (C._C_DIST, C._C_DEPTH, C._C_EVB, C._C_EVW, C._C_EVE,
+              C._C_PAD13, C._C_PAD14, C._C_PAD15):
+        out_ref[0, k] = zero
+
+
+def init_state_tiles(scal: jax.Array, n_pad: int, n_real: int,
+                     interpret: bool = False) -> jax.Array:
+    """On-chip state init: [n_tiles, NCOLS, 1, 128] with generated dirs."""
+    n_tiles = n_pad // _LANES
+    return pl.pallas_call(
+        functools.partial(_init_state_kernel_v2, n_real=n_real),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, v1._NSCAL), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, v1._NCOLS, 1, _LANES),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, v1._NCOLS, 1, _LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(scal)
+
+
 def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, state_ref, out_ref,
                            *, n_groups: int, max_bounces: int,
                            round_budget: int):
@@ -158,9 +213,17 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, state_ref, out_ref,
                     jnp.where(better, pick(_T_NZ), bnz),
                     jnp.where(better, pick(_T_ABS), bab))
 
-        best_t, bnx, bny, bnz, bab = jax.lax.fori_loop(
-            0, n_groups, group_step,
-            (jnp.full((1, _LANES), inf), zero, zero, zero, zero))
+        best0 = (jnp.full((1, _LANES), inf), zero, zero, zero, zero)
+        if n_groups <= 32:
+            # Static unroll lets Mosaic pipeline the small MXU dots across
+            # groups; a fori_loop serializes them behind the carry.
+            best = best0
+            for g in range(n_groups):
+                best = group_step(g, best)
+            best_t, bnx, bny, bnz, bab = best
+        else:
+            best_t, bnx, bny, bnz, bab = jax.lax.fori_loop(
+                0, n_groups, group_step, best0)
 
         # ---- receiver sphere ----
         ocx = px - s(C._S_RCX)

@@ -27,7 +27,7 @@ import numpy as np
 
 from . import constants
 from .core import sampling
-from .core.tracer import TracerOptions, scene_to_arrays, trace_ir
+from .core.tracer import TracerOptions, render_ir, scene_to_arrays, trace_ir
 from .core.tracer_ref import TraceParams
 from .ops import convolve
 from .scene import Scene
@@ -140,8 +140,8 @@ class AudioRenderer:
 
             @jax.jit
             def fn(sc, key, emitter, rec_pos, yaw_deg):
-                dirs = sampling.sample_directions(key, n_rays)
-                ir = trace_ir(sc, dirs, emitter, rec_pos, yaw_deg, params, opts)
+                ir = render_ir(sc, key, n_rays, emitter, rec_pos, yaw_deg,
+                               params, opts)
                 if params.is_mono:
                     # addIRs fold: both ears carry the sum (kernels.cu:519-536).
                     ir = jnp.broadcast_to(jnp.sum(ir, axis=0, keepdims=True), ir.shape)

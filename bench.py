@@ -52,16 +52,19 @@ def main():
     params = ar.TraceParams(sample_rate=16000, ir_length=32000,
                             base_power=3.62, max_bounces=100,
                             energy_threshold=0.0, hrtf_absorption_rate=0.9)
+    backend = os.environ.get("AR2_BENCH_BACKEND", "pallas")
     opts = ar.TracerOptions(block_size=int(os.environ.get("AR2_BENCH_BLOCK", 65536)),
                             tri_chunk=1024,
-                            backend=os.environ.get("AR2_BENCH_BACKEND", "pallas"),
-                            rays_per_tile=int(os.environ.get("AR2_BENCH_TILE", 256)))
+                            backend=backend,
+                            rays_per_tile=int(os.environ.get("AR2_BENCH_TILE", 256)),
+                            pallas_native_rng=(backend == "pallas" and
+                                               os.environ.get("AR2_BENCH_NATIVE_RNG", "1") == "1"))
     sc = ar.scene_to_arrays(scene, opts.tri_chunk)
+    from audiorenderingv2_tpu.core.tracer import render_ir
 
     @jax.jit
     def render(key, emitter, rec, yaw):
-        dirs = sampling.sample_directions(key, n_rays)
-        return ar.trace_ir(sc, dirs, emitter, rec, yaw, params, opts)
+        return render_ir(sc, key, n_rays, emitter, rec, yaw, params, opts)
 
     emitter = jnp.zeros(3, jnp.float32)
     rec = jnp.array([2.5, 9.9, 0.0], jnp.float32)  # config.json receiver
