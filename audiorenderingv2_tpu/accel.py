@@ -91,6 +91,17 @@ def sort_scene_for_clusters(scene: Scene) -> Scene:
     return out
 
 
+def prepare_scene(scene: Scene, min_triangles: int = 512):
+    """Morton-sort + cluster a scene when it is big enough to benefit.
+
+    Returns (scene, ClusterData-or-None); pass both to
+    ``scene_to_arrays(scene, clusters=...)``."""
+    if scene.n_triangles < min_triangles:
+        return scene, None
+    sorted_scene = sort_scene_for_clusters(scene)
+    return sorted_scene, build_clusters(sorted_scene)
+
+
 def build_clusters(scene: Scene, cluster_size: int = CLUSTER_SIZE) -> ClusterData:
     """AABBs per cluster of ``cluster_size`` consecutive (Morton-sorted)
     triangles. Call on a scene already passed through

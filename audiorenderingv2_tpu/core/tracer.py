@@ -64,6 +64,10 @@ class SceneArrays(NamedTuple):
     normal: jax.Array    # [T, 3] unit geometric normal
     absorption: jax.Array  # [T]
     valid: jax.Array     # [T] 1.0 real / 0.0 padding
+    # Optional cluster AABBs [T/128, 8] (lox,loy,loz,hix,hiy,hiz,0,0) for
+    # Morton-sorted scenes (accel.py); enables per-cluster chunk skipping in
+    # the Pallas kernels. None = no culling.
+    cluster_boxes: jax.Array | None = None
 
 
 @dataclass(frozen=True)
@@ -86,10 +90,12 @@ class TracerOptions:
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
-                    absorption: jax.Array | None = None) -> SceneArrays:
+                    absorption: jax.Array | None = None,
+                    clusters=None) -> SceneArrays:
     """Pack a host Scene into device arrays, padded to a multiple of the
     triangle chunk. ``absorption`` may override the per-triangle absorption
-    with a traced array (for absorption optimization)."""
+    with a traced array (for absorption optimization). ``clusters``: an
+    accel.ClusterData built on a Morton-sorted scene enables chunk culling."""
     t = scene.v0.shape[0]
     t_pad = ((t + 127) // 128) * 128  # lane alignment
     tc = min(tri_chunk, t_pad)
@@ -105,7 +111,20 @@ def scene_to_arrays(scene, tri_chunk: int = 2048,
     u_off = -jnp.einsum("ij,ij->i", jnp.asarray(scene.v0), jnp.asarray(scene.bary_u))
     v_off = -jnp.einsum("ij,ij->i", jnp.asarray(scene.v0), jnp.asarray(scene.bary_v))
     absorb = scene.absorption if absorption is None else absorption
+    boxes = None
+    if clusters is not None:
+        n_clus = t_pad // 128
+        b = np.zeros((n_clus, 8), np.float32)
+        # padding clusters keep inverted boxes (lo=+inf) -> never hit
+        b[:, :3] = np.inf
+        b[:, 3:6] = -np.inf
+        m = min(clusters.n_clusters, n_clus)
+        for j, col in enumerate((clusters.lo_x, clusters.lo_y, clusters.lo_z,
+                                 clusters.hi_x, clusters.hi_y, clusters.hi_z)):
+            b[:m, j] = col[:m]
+        boxes = jnp.asarray(b)
     return SceneArrays(
+        cluster_boxes=boxes,
         plane_n=pad(scene.plane_n),
         plane_d=pad(scene.plane_d),
         bary_u=pad(scene.bary_u),

@@ -264,6 +264,29 @@ def _trace_round_kernel(scal_ref, tris_ref, state_ref, out_ref,
                                       jnp.float32)
 
 
+def _compaction_keys(state: jax.Array, coherent: bool) -> jax.Array:
+    """Sort keys for between-round compaction.
+
+    Plain mode: done flag (alive rays first). Coherent mode (cluster-culled
+    scenes): alive rays additionally grouped by a coarse position cell and
+    direction octant, so rays landing in a tile tend to reach the same
+    clusters and the per-tile slab test actually skips work."""
+    done = state[:, _C_DONE]
+    if not coherent:
+        return done
+    p = state[:, _C_PX:_C_PZ + 1]
+    v = state[:, _C_VX:_C_VZ + 1]
+    pmin = jnp.min(p, axis=0)
+    pmax = jnp.max(p, axis=0)
+    cell = jnp.clip(((p - pmin) / jnp.maximum(pmax - pmin, 1e-6)
+                     * 7.999).astype(jnp.int32), 0, 7)
+    code = cell[:, 0] * 64 + cell[:, 1] * 8 + cell[:, 2]
+    octant = ((v[:, 0] > 0).astype(jnp.int32) * 4
+              + (v[:, 1] > 0).astype(jnp.int32) * 2
+              + (v[:, 2] > 0).astype(jnp.int32))
+    return done * 8192.0 + (code * 8 + octant).astype(jnp.float32)
+
+
 def _round_schedule(max_bounces: int, first: int = 6,
                     growth: int = 4) -> list[int]:
     """Geometric per-round bounce budgets summing to >= max_bounces.
@@ -368,7 +391,7 @@ def trace_events_pallas(
     if version == 2:
         from . import raytrace_pallas_v2 as v2
 
-        coeffs, attrs = tris_packed
+        coeffs, attrs, boxes = tris_packed
         if directions is None:
             scal_seed = scal.at[0, _S_PAD14].set(
                 jnp.asarray(native_rng_seed, jnp.float32))
@@ -378,11 +401,12 @@ def trace_events_pallas(
                 jnp.asarray(directions, jnp.float32),
                 jnp.asarray(emitter, jnp.float32), e0, n_pad))
         for k, budget in enumerate(budgets):
-            tiles = v2.trace_round_v2(tiles, coeffs, attrs, scal, params,
-                                      budget, interpret)
+            tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
+                                      params, budget, interpret)
             if compact and k + 1 < len(budgets):
                 st = v2.from_tiles(tiles)
-                order = jnp.argsort(st[:, _C_DONE], stable=True)
+                keys = _compaction_keys(st, coherent=boxes is not None)
+                order = jnp.argsort(keys, stable=True)
                 tiles = v2.to_tiles(jnp.take(st, order, axis=0))
         state = v2.from_tiles(tiles)
     else:

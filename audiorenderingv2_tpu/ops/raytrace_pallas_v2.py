@@ -87,7 +87,7 @@ def pack_tris_v2(sc: SceneArrays):
         sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
         sc.absorption, sc.valid, zeros, zeros, zeros,
     ], axis=1).astype(jnp.float32)  # [T, 8]
-    return coeffs, attrs
+    return coeffs, attrs, sc.cluster_boxes
 
 
 def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int):
@@ -145,9 +145,10 @@ def init_state_tiles(scal: jax.Array, n_pad: int, n_real: int,
     )(scal)
 
 
-def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, state_ref, out_ref,
-                           *, n_groups: int, max_bounces: int,
-                           round_budget: int):
+def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
+                           out_ref, *, n_groups: int, max_bounces: int,
+                           round_budget: int, n_clusters: int,
+                           use_cull: bool):
     s = lambda j: scal_ref[0, j]
     inf = jnp.float32(jnp.inf)
     sub = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _LANES), 0)
@@ -214,7 +215,50 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, state_ref, out_ref,
                     jnp.where(better, pick(_T_ABS), bab))
 
         best0 = (jnp.full((1, _LANES), inf), zero, zero, zero, zero)
-        if n_groups <= 32:
+        if use_cull:
+            # Cluster culling: slab-test the (alive) ray tile against each
+            # 128-triangle cluster's AABB and branch over the cluster's 16
+            # triangle groups only when some ray can reach it closer than
+            # its current best hit. Boxes live in SMEM; each test is ~25
+            # single-register VPU ops.
+            eps_d = jnp.float32(1e-20)
+            inv = lambda v: 1.0 / jnp.where(
+                jnp.abs(v) > eps_d, v, jnp.where(v >= 0, eps_d, -eps_d))
+            ivx, ivy, ivz = inv(vx), inv(vy), inv(vz)
+            gpc = 128 // _GROUP  # triangle groups per cluster
+
+            def cluster_step(c, best):
+                bx = lambda j: box_ref[c, j]
+                t1 = (bx(0) - px) * ivx
+                t2 = (bx(3) - px) * ivx
+                tn = jnp.minimum(t1, t2)
+                tf = jnp.maximum(t1, t2)
+                t1 = (bx(1) - py) * ivy
+                t2 = (bx(4) - py) * ivy
+                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                t1 = (bx(2) - pz) * ivz
+                t2 = (bx(5) - pz) * ivz
+                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                reach = alive & (tf >= jnp.maximum(tn, 0.0)) & (tn < best[0])
+
+                def enter(b):
+                    for g in range(gpc):
+                        b = group_step(c * gpc + g, b)
+                    return b
+
+                return jax.lax.cond(jnp.any(reach), enter, lambda b: b, best)
+
+            if n_clusters <= 8:
+                best = best0
+                for c in range(n_clusters):
+                    best = cluster_step(c, best)
+                best_t, bnx, bny, bnz, bab = best
+            else:
+                best_t, bnx, bny, bnz, bab = jax.lax.fori_loop(
+                    0, n_clusters, cluster_step, best0)
+        elif n_groups <= 32:
             # Static unroll lets Mosaic pipeline the small MXU dots across
             # groups; a fori_loop serializes them behind the carry.
             best = best0
@@ -287,17 +331,22 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, state_ref, out_ref,
         out_ref[0, k] = val
 
 
-def trace_round_v2(state, coeffs, attrs, scal, params: TraceParams,
+def trace_round_v2(state, coeffs, attrs, boxes, scal, params: TraceParams,
                    round_budget: int, interpret: bool = False) -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
     ``state``: [n_tiles, NCOLS, 1, 128] (see ``to_tiles``/``from_tiles``).
+    ``boxes``: [n_clusters, 8] cluster AABBs or None (no culling).
     """
     n_tiles = state.shape[0]
     t_total = attrs.shape[0]
+    use_cull = boxes is not None
+    if boxes is None:
+        boxes = jnp.zeros((1, 8), jnp.float32)
     kernel = functools.partial(
         _trace_round_kernel_v2, n_groups=t_total // _GROUP,
-        max_bounces=params.max_bounces, round_budget=round_budget)
+        max_bounces=params.max_bounces, round_budget=round_budget,
+        n_clusters=boxes.shape[0], use_cull=use_cull)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -306,14 +355,16 @@ def trace_round_v2(state, coeffs, attrs, scal, params: TraceParams,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(coeffs.shape, lambda i: (0, 0)),
             pl.BlockSpec(attrs.shape, lambda i: (0, 0)),
+            pl.BlockSpec(boxes.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, v1._NCOLS, 1, _LANES), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, v1._NCOLS, 1, _LANES),
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        input_output_aliases={3: 0},
+        input_output_aliases={4: 0},
         interpret=interpret,
-    )(scal, coeffs, attrs, state)
+    )(scal, coeffs, attrs, boxes, state)
 
 
 def to_tiles(state: jax.Array) -> jax.Array:

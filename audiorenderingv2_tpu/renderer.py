@@ -64,7 +64,6 @@ class AudioRenderer:
         seed: int = 0,
         band_edges: tuple = (250.0, 1000.0, 4000.0),
     ):
-        self.scene = scene
         self.n_rays = int(n_rays)
         if opts is None:
             # The fused Pallas kernel is the fast path on TPU; the XLA path
@@ -72,7 +71,15 @@ class AudioRenderer:
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
             opts = TracerOptions(backend=backend)
         self.opts = opts
-        self.sc = scene_to_arrays(scene, self.opts.tri_chunk)
+        clusters = None
+        if self.opts.backend == "pallas" and self.opts.pallas_version == 2:
+            # Larger scenes get Morton-sorted clusters for chunk culling.
+            from . import accel
+
+            scene, clusters = accel.prepare_scene(scene)
+        self.scene = scene
+        self.sc = scene_to_arrays(scene, self.opts.tri_chunk,
+                                  clusters=clusters)
         # Banded absorption ([T, n_bands]) switches the whole pipeline to
         # per-band IRs + filterbank auralization.
         n_bands = (scene.absorption.shape[1]

@@ -60,3 +60,23 @@ def test_morton_locality():
         return np.mean(vol[np.isfinite(vol)])
 
     assert mean_volume(srt) < mean_volume(raw) * 0.6
+
+
+def test_cluster_culled_kernel_matches_unclulled():
+    """v2 kernel with cluster culling == without (interpret mode)."""
+    v, t = testing.icosphere(radius=6.0, subdivisions=3)  # 1280 tris
+    scene = testing.scene_from_arrays(v, t, 0.2)
+    sorted_scene, clusters = accel.prepare_scene(scene)
+    assert clusters is not None
+    params = ar.TraceParams(sample_rate=8000, ir_length=8000, base_power=3.62,
+                            max_bounces=6)
+    opts = ar.TracerOptions(backend="pallas", pallas_version=2,
+                            pallas_interpret=True)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(2), 256)
+    args = (jnp.zeros(3), jnp.array([2.0, 0.5, -1.0]), 0.0, params, opts)
+    sc_cull = ar.scene_to_arrays(sorted_scene, 2048, clusters=clusters)
+    sc_none = ar.scene_to_arrays(sorted_scene, 2048)
+    a = np.asarray(ar.trace_ir(sc_cull, dirs, *args))
+    b = np.asarray(ar.trace_ir(sc_none, dirs, *args))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
