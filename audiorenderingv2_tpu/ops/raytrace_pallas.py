@@ -287,6 +287,17 @@ def _compaction_keys(state: jax.Array, coherent: bool) -> jax.Array:
     return done * 8192.0 + (code * 8 + octant).astype(jnp.float32)
 
 
+def _partition_alive_first(state: jax.Array) -> jax.Array:
+    """Stable alive-first reorder of the ray state.
+
+    (A cumsum + searchsorted partition was tried here and measured 3x SLOWER
+    than argsort on TPU — XLA lowers the million-query searchsorted poorly —
+    so this stays a stable single-key argsort.)
+    """
+    order = jnp.argsort(state[:, _C_DONE], stable=True)
+    return jnp.take(state, order, axis=0)
+
+
 def _round_schedule(max_bounces: int, first: int = 6,
                     growth: int = 4) -> list[int]:
     """Geometric per-round bounce budgets summing to >= max_bounces.
@@ -405,9 +416,12 @@ def trace_events_pallas(
                                       params, budget, interpret)
             if compact and k + 1 < len(budgets):
                 st = v2.from_tiles(tiles)
-                keys = _compaction_keys(st, coherent=boxes is not None)
-                order = jnp.argsort(keys, stable=True)
-                tiles = v2.to_tiles(jnp.take(st, order, axis=0))
+                if boxes is not None:
+                    keys = _compaction_keys(st, coherent=True)
+                    st = jnp.take(st, jnp.argsort(keys, stable=True), axis=0)
+                else:
+                    st = _partition_alive_first(st)
+                tiles = v2.to_tiles(st)
         state = v2.from_tiles(tiles)
     else:
         if tris_packed.shape[1] % _LANES:
@@ -419,8 +433,7 @@ def trace_events_pallas(
             state = trace_round(state, tris_packed, scal, params, r, budget,
                                 interpret)
             if compact and k + 1 < len(budgets):
-                order = jnp.argsort(state[:, _C_DONE], stable=True)
-                state = jnp.take(state, order, axis=0)
+                state = _partition_alive_first(state)
 
     # Compaction reorders rays, so all n_pad slots are returned; padding rays
     # carry zero weight and are dropped by the histogram's overflow bucket.
