@@ -3,8 +3,8 @@
 The reference has no checkpointing at all (SURVEY section 5 — its nearest
 analogs are IR txt dumps and WAV export). The optimization loop here can run
 for thousands of steps on pod time, so it checkpoints (step, params,
-optimizer state, loss history) — via orbax when available, with a plain
-``.npz`` fallback that has no extra dependencies.
+optimizer state, loss history) as a plain ``.npz`` — no extra dependencies,
+and trivially inspectable.
 """
 from __future__ import annotations
 
@@ -13,18 +13,10 @@ from pathlib import Path
 import jax
 import numpy as np
 
-try:  # orbax is in the image, but keep the fallback for portability
-    import orbax.checkpoint as ocp
-
-    _HAS_ORBAX = True
-except ImportError:  # pragma: no cover
-    _HAS_ORBAX = False
-
 
 def save_fit_state(path: str | Path, step: int, theta, opt_state,
                    losses: list[float]) -> None:
-    """Snapshot the optimization state. ``path`` is a file prefix (npz) or
-    directory (orbax)."""
+    """Snapshot the optimization state to ``path``.npz."""
     path = Path(path)
     flat, treedef = jax.tree.flatten((theta, opt_state))
     np.savez(

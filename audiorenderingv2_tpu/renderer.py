@@ -26,8 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants
-from .core import sampling
-from .core.tracer import TracerOptions, render_ir, scene_to_arrays, trace_ir
+from .core.tracer import TracerOptions, render_ir, scene_to_arrays
 from .core.tracer_ref import TraceParams
 from .ops import convolve
 from .scene import Scene

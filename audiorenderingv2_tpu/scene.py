@@ -5,9 +5,10 @@ GAS whenever geometry changes (OptixModel.cpp:37-141, AudioRenderer.cpp:95-218).
 Here a scene is a set of flat arrays, padded to a lane-aligned triangle count,
 with intersection quantities precomputed once per scene:
 
-* Baldwin–Weber-style plane + barycentric rows turn the per-(ray, triangle)
-  Möller–Trumbore test into six [N_rays, 3] x [3, T] matmuls plus elementwise
-  math — the shape the MXU/VPU want, with no per-pair cross products.
+* Baldwin–Weber-style plane + barycentric rows reduce the per-(ray,
+  triangle) Möller–Trumbore test to six broadcast dot products plus
+  elementwise math — uniform vector work with no per-pair cross products
+  (see core/tracer.py for why these stay off the MXU's default precision).
 * The receiver (listener head) is NOT geometry. The reference re-tessellates
   two hemisphere meshes into the scene and rebuilds the BVH on every listener
   move (OptixModel.cpp:153-257); here the receiver is an analytic sphere test
@@ -21,7 +22,6 @@ from pathlib import Path
 
 import numpy as np
 
-from . import constants
 from .io import obj as obj_io
 
 _LANE = 128

@@ -37,7 +37,7 @@ def main():
 
     import audiorenderingv2_tpu as ar
     from audiorenderingv2_tpu import testing
-    from audiorenderingv2_tpu.core import sampling
+    from audiorenderingv2_tpu.core.tracer import render_ir
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
@@ -66,7 +66,6 @@ def main():
                             pallas_native_rng=(backend == "pallas" and
                                                os.environ.get("AR2_BENCH_NATIVE_RNG", "1") == "1"))
     sc = ar.scene_to_arrays(scene, opts.tri_chunk)
-    from audiorenderingv2_tpu.core.tracer import render_ir
 
     @jax.jit
     def render(key, emitter, rec, yaw):
