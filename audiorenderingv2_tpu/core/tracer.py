@@ -453,15 +453,17 @@ def trace_ir(
     n = directions.shape[0]
     n_total = n_total_rays if n_total_rays is not None else n
 
-    if opts.backend == "pallas" and params.n_bands == 1:
-        # Fused on-chip trace kernel (forward-only, single-band; banded and
-        # gradient work use the XLA path).
+    pallas_ok = (params.n_bands == 1
+                 or (opts.pallas_version == 2 and params.n_bands <= 4))
+    if opts.backend == "pallas" and pallas_ok:
+        # Fused on-chip trace kernel (forward-only; v2 supports up to 4
+        # absorption bands; gradient work uses the XLA path).
         from ..ops import raytrace_pallas as rp
 
         if opts.pallas_version == 2:
             from ..ops import raytrace_pallas_v2 as rp2
 
-            tris_packed = rp2.pack_tris_v2(sc)
+            tris_packed = rp2.pack_tris_v2(sc, params.n_bands)
         else:
             tris_packed = rp.pack_tris(sc)
         ev_bin_f, ev_w, ev_ear = rp.trace_events_pallas(
@@ -472,7 +474,7 @@ def trace_ir(
             params, rays_per_tile=opts.rays_per_tile,
             n_total_rays=n_total, interpret=opts.pallas_interpret,
             compact=opts.pallas_compact, version=opts.pallas_version)
-        return _histogram_from_events(ev_bin_f, ev_w[:, None], ev_ear, params,
+        return _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
                                       opts.soft_binning)
 
     block = min(opts.block_size, n)
@@ -540,7 +542,7 @@ def render_ir(
             params, n_total_rays=n_total_rays,
             interpret=opts.pallas_interpret, compact=opts.pallas_compact,
             version=2, native_rng_seed=seed, n_rays=n_rays)
-        return _histogram_from_events(ev_bin_f, ev_w[:, None], ev_ear,
+        return _histogram_from_events(ev_bin_f, ev_w, ev_ear,
                                       params, opts.soft_binning)
     from . import sampling
 

@@ -59,7 +59,8 @@ _NSCAL = 16
  _S_SINY, _S_COSY, _S_E0, _S_ETHR, _S_DTHR, _S_BINRATE,
  _S_R2, _S_PAD13, _S_PAD14, _S_PAD15) = range(_NSCAL)
 
-# Ray-state columns ([N, 16] float32).
+# Ray-state columns ([N, 16] float32; banded v2 runs extend to 24 — see
+# raytrace_pallas_v2.state_ncols / _band_cols).
 _NCOLS = 16
 (_C_PX, _C_PY, _C_PZ, _C_VX, _C_VY, _C_VZ,
  _C_DIST, _C_EN, _C_DEPTH, _C_DONE,
@@ -107,17 +108,20 @@ def _scalars(emitter, rec, yaw_rad, e0, params: TraceParams) -> jax.Array:
 
 
 def init_state(directions: jax.Array, emitter: jax.Array, e0,
-               n_pad: int) -> jax.Array:
-    """Build the [n_pad, 16] initial ray state; pad rays start done."""
+               n_pad: int, ncols: int = _NCOLS,
+               en_cols: tuple = (_C_EN,)) -> jax.Array:
+    """Build the [n_pad, ncols] initial ray state; pad rays start done.
+    ``en_cols``: per-band energy columns, all initialized to e0."""
     n = directions.shape[0]
-    state = jnp.zeros((n_pad, _NCOLS), jnp.float32)
+    state = jnp.zeros((n_pad, ncols), jnp.float32)
     state = state.at[:, _C_PX].set(emitter[0])
     state = state.at[:, _C_PY].set(emitter[1])
     state = state.at[:, _C_PZ].set(emitter[2])
     state = state.at[:n, _C_VX].set(directions[:, 0])
     state = state.at[:n, _C_VY].set(directions[:, 1])
     state = state.at[:n, _C_VZ].set(directions[:, 2])
-    state = state.at[:n, _C_EN].set(e0)
+    for c in en_cols:
+        state = state.at[:n, c].set(e0)
     if n_pad > n:
         state = state.at[n:, _C_DONE].set(1.0)
     return state
@@ -403,14 +407,20 @@ def trace_events_pallas(
         from . import raytrace_pallas_v2 as v2
 
         coeffs, attrs, boxes = tris_packed
+        n_bands = params.n_bands
+        ncols = v2.state_ncols(n_bands)
+        en_cols, evw_cols = v2._band_cols(n_bands)
         if directions is None:
+            if n_bands != 1:
+                raise ValueError("native RNG init supports one band")
             scal_seed = scal.at[0, _S_PAD14].set(
                 jnp.asarray(native_rng_seed, jnp.float32))
             tiles = v2.init_state_tiles(scal_seed, n_pad, n, interpret)
         else:
             tiles = v2.to_tiles(init_state(
                 jnp.asarray(directions, jnp.float32),
-                jnp.asarray(emitter, jnp.float32), e0, n_pad))
+                jnp.asarray(emitter, jnp.float32), e0, n_pad,
+                ncols=ncols, en_cols=tuple(en_cols)))
         for k, budget in enumerate(budgets):
             tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
                                       params, budget, interpret)
@@ -423,6 +433,8 @@ def trace_events_pallas(
                     st = _partition_alive_first(st)
                 tiles = v2.to_tiles(st)
         state = v2.from_tiles(tiles)
+        return (state[:, _C_EVB], state[:, jnp.asarray(evw_cols)],
+                state[:, _C_EVE].astype(jnp.int32))
     else:
         if tris_packed.shape[1] % _LANES:
             raise ValueError(f"triangle count {tris_packed.shape[1]} not a "
@@ -437,5 +449,6 @@ def trace_events_pallas(
 
     # Compaction reorders rays, so all n_pad slots are returned; padding rays
     # carry zero weight and are dropped by the histogram's overflow bucket.
-    return (state[:, _C_EVB], state[:, _C_EVW],
+    # Event weights always carry a trailing band axis ([n_pad, n_bands]).
+    return (state[:, _C_EVB], state[:, _C_EVW:_C_EVW + 1],
             state[:, _C_EVE].astype(jnp.int32))

@@ -44,12 +44,22 @@ _GROUP = 8          # triangles per sublane group
 _NQ = 6             # dot-product quantities: no, nd, ou, du, ov, dv
 _AROWS = _NQ * _GROUP  # rows of the per-group MXU coefficient matrix
 
-# Transposed triangle attribute columns ([T, 4]): unit normal + absorption.
+# Transposed triangle attribute columns ([T, 8]): unit normal, then
+# n_bands absorption columns, then the valid flag (_T_ABS + n_bands).
 _TN_COLS = 8
 (_T_NX, _T_NY, _T_NZ, _T_ABS, _T_VAL, _T_PAD5, _T_PAD6, _T_PAD7) = range(_TN_COLS)
+_MAX_BANDS = 4  # 3 normal cols + 4 absorption cols + valid = 8
 
 
-def pack_tris_v2(sc: SceneArrays):
+def state_ncols(n_bands: int) -> int:
+    """Ray-state columns: v1's 16-column layout for one band; banded runs
+    add (n_bands - 1) extra energy and event-weight columns, rounded to 24.
+    Extra-band columns: energy b at 16 + (b-1), event weight b at 19 + (b-1).
+    """
+    return 16 if n_bands == 1 else 24
+
+
+def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
     """Build (coeff [T/8*48, 8], attrs [T, 8]) for the v2 kernel.
 
     coeff row layout per 8-triangle group g: rows [g*48 + q*8 + i] hold the
@@ -83,10 +93,17 @@ def pack_tris_v2(sc: SceneArrays):
     coeffs = q.reshape(t // _GROUP, _GROUP, _NQ, 8).transpose(0, 2, 1, 3)
     coeffs = coeffs.reshape(t // _GROUP * _AROWS, 8).astype(jnp.float32)
 
+    if n_bands > _MAX_BANDS:
+        raise ValueError(f"v2 kernel supports at most {_MAX_BANDS} bands")
+    absorb = sc.absorption
+    if absorb.ndim == 1:
+        absorb = absorb[:, None]
+    ab_cols = [absorb[:, min(b, absorb.shape[1] - 1)] for b in range(n_bands)]
+    pad_cols = [zeros] * (_TN_COLS - 4 - n_bands)
     attrs = jnp.stack([
         sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
-        sc.absorption, sc.valid, zeros, zeros, zeros,
-    ], axis=1).astype(jnp.float32)  # [T, 8]
+        *ab_cols, sc.valid, *pad_cols,
+    ], axis=1).astype(jnp.float32)  # [T, 8]; valid at col 3 + n_bands
     return coeffs, attrs, sc.cluster_boxes
 
 
@@ -145,10 +162,20 @@ def init_state_tiles(scal: jax.Array, n_pad: int, n_real: int,
     )(scal)
 
 
+def _band_cols(n_bands: int):
+    """State columns for the per-band energy and event-weight values.
+
+    Band 0 uses v1's _C_EN/_C_EVW slots; extra bands use columns 16+ (see
+    :func:`state_ncols`)."""
+    en = [v1._C_EN] + [16 + b - 1 for b in range(1, n_bands)]
+    evw = [v1._C_EVW] + [16 + (_MAX_BANDS - 1) + b - 1 for b in range(1, n_bands)]
+    return en, evw
+
+
 def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
                            out_ref, *, n_groups: int, max_bounces: int,
                            round_budget: int, n_clusters: int,
-                           use_cull: bool):
+                           use_cull: bool, n_bands: int):
     s = lambda j: scal_ref[0, j]
     inf = jnp.float32(jnp.inf)
     sub = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _LANES), 0)
@@ -156,13 +183,16 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
     zero = jnp.zeros((1, _LANES), jnp.float32)
     ones = jnp.ones((1, _LANES), jnp.float32)
     C = v1  # column indices shared with v1
+    en_cols, evw_cols = _band_cols(n_bands)
+    t_val = _T_ABS + n_bands  # valid flag sits after the absorption columns
 
     init = (
         jnp.int32(0),
         col(C._C_PX), col(C._C_PY), col(C._C_PZ),
         col(C._C_VX), col(C._C_VY), col(C._C_VZ),
-        col(C._C_DIST), col(C._C_EN), col(C._C_DEPTH), col(C._C_DONE),
-        col(C._C_EVB), col(C._C_EVW), col(C._C_EVE),
+        col(C._C_DIST), tuple(col(k) for k in en_cols),
+        col(C._C_DEPTH), col(C._C_DONE),
+        col(C._C_EVB), tuple(col(k) for k in evw_cols), col(C._C_EVE),
     )
 
     def cond(carry):
@@ -174,7 +204,10 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
         (i, px, py, pz, vx, vy, vz, dist, energy, depth, done,
          ev_bin, ev_w, ev_ear) = carry
 
-        can_continue = ((dist < s(C._S_DTHR)) & (energy > s(C._S_ETHR))
+        e_max = energy[0]
+        for e in energy[1:]:
+            e_max = jnp.maximum(e_max, e)
+        can_continue = ((dist < s(C._S_DTHR)) & (e_max > s(C._S_ETHR))
                         & (depth < jnp.float32(max_bounces)))
         alive = (done == 0.0) & can_continue
 
@@ -199,7 +232,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
             v = ov + t * dv
             ok = (safe & (t > constants.T_MIN)
                   & (u >= -1e-7) & (v >= -1e-7) & (u + v <= 1.0 + 1e-7)
-                  & (at[:, _T_VAL:_T_VAL + 1] > 0))
+                  & (at[:, t_val:t_val + 1] > 0))
             tm = jnp.where(ok, t, inf)
             gt = jnp.min(tm, axis=0, keepdims=True)               # [1, 128]
             better = gt < best_t
@@ -212,9 +245,11 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
                     jnp.where(better, pick(_T_NX), bnx),
                     jnp.where(better, pick(_T_NY), bny),
                     jnp.where(better, pick(_T_NZ), bnz),
-                    jnp.where(better, pick(_T_ABS), bab))
+                    tuple(jnp.where(better, pick(_T_ABS + b), bab[b])
+                          for b in range(n_bands)))
 
-        best0 = (jnp.full((1, _LANES), inf), zero, zero, zero, zero)
+        best0 = (jnp.full((1, _LANES), inf), zero, zero, zero,
+                 (zero,) * n_bands)
         if use_cull:
             # Cluster culling: slab-test the (alive) ray tile against each
             # 128-triangle cluster's AABB and branch over the cluster's 16
@@ -295,7 +330,8 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
         local_z = -s(C._S_SINY) * hx + s(C._S_COSY) * hz
         ear = (local_z >= 0.0).astype(jnp.float32)
         ev_bin = jnp.where(receiver, dist_r * s(C._S_BINRATE), ev_bin)
-        ev_w = jnp.where(receiver, energy * chord, ev_w)
+        ev_w = tuple(jnp.where(receiver, energy[b] * chord, ev_w[b])
+                     for b in range(n_bands))
         ev_ear = jnp.where(receiver, ear, ev_ear)
 
         t_hit = jnp.where(best_t < inf, best_t, 0.0)
@@ -311,7 +347,9 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
         vy = jnp.where(surface, ry, vy)
         vz = jnp.where(surface, rz, vz)
         dist = jnp.where(surface, dist + t_hit, dist)
-        energy = jnp.where(surface, energy * (1.0 - bab), energy)
+        energy = tuple(
+            jnp.where(surface, energy[b] * (1.0 - bab[b]), energy[b])
+            for b in range(n_bands))
         depth = jnp.where(surface, depth + 1.0, depth)
         newly_done = receiver | miss | jnp.logical_not(can_continue)
         done = jnp.maximum(done, newly_done.astype(jnp.float32))
@@ -322,13 +360,16 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
     (_, px, py, pz, vx, vy, vz, dist, energy, depth, done,
      ev_bin, ev_w, ev_ear) = jax.lax.while_loop(cond, body, init)
 
-    for k, val in ((C._C_PX, px), (C._C_PY, py), (C._C_PZ, pz),
-                   (C._C_VX, vx), (C._C_VY, vy), (C._C_VZ, vz),
-                   (C._C_DIST, dist), (C._C_EN, energy),
-                   (C._C_DEPTH, depth), (C._C_DONE, done),
-                   (C._C_EVB, ev_bin), (C._C_EVW, ev_w), (C._C_EVE, ev_ear),
-                   (C._C_PAD13, zero), (C._C_PAD14, zero), (C._C_PAD15, zero)):
-        out_ref[0, k] = val
+    ncols = state_ncols(n_bands)
+    writes = {C._C_PX: px, C._C_PY: py, C._C_PZ: pz,
+              C._C_VX: vx, C._C_VY: vy, C._C_VZ: vz,
+              C._C_DIST: dist, C._C_DEPTH: depth, C._C_DONE: done,
+              C._C_EVB: ev_bin, C._C_EVE: ev_ear}
+    for b, (ek, wk) in enumerate(zip(en_cols, evw_cols)):
+        writes[ek] = energy[b]
+        writes[wk] = ev_w[b]
+    for k in range(ncols):
+        out_ref[0, k] = writes.get(k, zero)
 
 
 def trace_round_v2(state, coeffs, attrs, boxes, scal, params: TraceParams,
@@ -339,6 +380,9 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal, params: TraceParams,
     ``boxes``: [n_clusters, 8] cluster AABBs or None (no culling).
     """
     n_tiles = state.shape[0]
+    ncols = state.shape[1]
+    n_bands = params.n_bands
+    assert ncols == state_ncols(n_bands), (ncols, n_bands)
     t_total = attrs.shape[0]
     use_cull = boxes is not None
     if boxes is None:
@@ -346,7 +390,7 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal, params: TraceParams,
     kernel = functools.partial(
         _trace_round_kernel_v2, n_groups=t_total // _GROUP,
         max_bounces=params.max_bounces, round_budget=round_budget,
-        n_clusters=boxes.shape[0], use_cull=use_cull)
+        n_clusters=boxes.shape[0], use_cull=use_cull, n_bands=n_bands)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -357,9 +401,9 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal, params: TraceParams,
             pl.BlockSpec(attrs.shape, lambda i: (0, 0)),
             pl.BlockSpec(boxes.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, v1._NCOLS, 1, _LANES), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, ncols, 1, _LANES), lambda i: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, v1._NCOLS, 1, _LANES),
+        out_specs=pl.BlockSpec((1, ncols, 1, _LANES),
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
         input_output_aliases={4: 0},
@@ -368,14 +412,14 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal, params: TraceParams,
 
 
 def to_tiles(state: jax.Array) -> jax.Array:
-    """[N, NCOLS] -> [n_tiles, NCOLS, 1, 128] (N a multiple of 128)."""
-    n = state.shape[0]
-    return state.reshape(n // _LANES, _LANES, v1._NCOLS).transpose(0, 2, 1) \
-        .reshape(n // _LANES, v1._NCOLS, 1, _LANES)
+    """[N, ncols] -> [n_tiles, ncols, 1, 128] (N a multiple of 128)."""
+    n, ncols = state.shape
+    return state.reshape(n // _LANES, _LANES, ncols).transpose(0, 2, 1) \
+        .reshape(n // _LANES, ncols, 1, _LANES)
 
 
 def from_tiles(tiles: jax.Array) -> jax.Array:
     """Inverse of :func:`to_tiles`."""
-    n_tiles = tiles.shape[0]
-    return tiles.reshape(n_tiles, v1._NCOLS, _LANES).transpose(0, 2, 1) \
-        .reshape(n_tiles * _LANES, v1._NCOLS)
+    n_tiles, ncols = tiles.shape[0], tiles.shape[1]
+    return tiles.reshape(n_tiles, ncols, _LANES).transpose(0, 2, 1) \
+        .reshape(n_tiles * _LANES, ncols)

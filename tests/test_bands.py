@@ -139,3 +139,24 @@ def test_banded_renderer_end_to_end():
     assert out.shape == (2, 2 * SR)
     assert np.isfinite(out).all()
     assert (out != 0).any()
+
+
+def test_banded_pallas_v2_matches_xla():
+    """The v2 Pallas kernel's banded path (interpret mode) == XLA tracer."""
+    scene = banded_scene([0.1, 0.3, 0.55, 0.8])
+    sc = ar.scene_to_arrays(scene, 128)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6, n_bands=BANDS)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(4), 256)
+    args = (jnp.zeros(3), jnp.array([2.0, 0.0, 1.0]), 15.0, params)
+    a = np.asarray(ar.trace_ir(sc, dirs, *args,
+                               ar.TracerOptions(backend="pallas",
+                                                pallas_version=2,
+                                                pallas_interpret=True)))
+    b = np.asarray(ar.trace_ir(sc, dirs, *args,
+                               ar.TracerOptions(backend="xla",
+                                                block_size=256,
+                                                tri_chunk=128)))
+    assert a.shape == (2, BANDS, SR)
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
