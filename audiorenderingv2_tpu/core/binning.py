@@ -70,28 +70,5 @@ def histogram_sum_banded(bins: jax.Array, weights: jax.Array,
     return csum[ends] - csum[starts]
 
 
-def hard_deposit(bin_f: jax.Array, weight: jax.Array, n_bins: int):
-    """Reference-parity binning: bin = round(t * sr) (devicePrograms.cu:132).
-
-    Returns (bins [E, 1] int32, weights [E, 1]).
-    """
-    b = jnp.round(bin_f).astype(jnp.int32)
-    b = jnp.where(weight != 0.0, b, n_bins)  # inactive events -> overflow
-    return b[..., None], weight[..., None]
-
-
-def soft_deposit(bin_f: jax.Array, weight: jax.Array, n_bins: int):
-    """Differentiable binning: linear interpolation between the two nearest
-    bins, so d(hist)/d(bin_f) — and hence d(IR)/d(path length) — exists.
-
-    Returns (bins [E, 2] int32, weights [E, 2]).
-    """
-    b0 = jnp.floor(bin_f)
-    frac = bin_f - b0
-    b0i = b0.astype(jnp.int32)
-    active = weight != 0.0
-    bins = jnp.stack(
-        [jnp.where(active, b0i, n_bins), jnp.where(active, b0i + 1, n_bins)], axis=-1
-    )
-    ws = jnp.stack([weight * (1.0 - frac), weight * frac], axis=-1)
-    return bins, ws
+# Deposit-slot construction (hard round vs soft linear interpolation) lives
+# in core/tracer._slot_bins, next to its only consumer.

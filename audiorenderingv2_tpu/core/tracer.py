@@ -115,13 +115,15 @@ def scene_to_arrays(scene, tri_chunk: int = 2048,
     if clusters is not None:
         n_clus = t_pad // 128
         b = np.zeros((n_clus, 8), np.float32)
-        # padding clusters keep inverted boxes (lo=+inf) -> never hit
-        b[:, :3] = np.inf
-        b[:, 3:6] = -np.inf
         m = min(clusters.n_clusters, n_clus)
         for j, col in enumerate((clusters.lo_x, clusters.lo_y, clusters.lo_z,
                                  clusters.hi_x, clusters.hi_y, clusters.hi_z)):
             b[:m, j] = col[:m]
+        # Column 6 is the cluster-valid flag. Inverted/inf boxes do NOT fail
+        # a min/max slab test (the per-axis min/max swallow the inversion),
+        # so padding and empty clusters must be skipped explicitly.
+        b[:m, 6] = np.isfinite(clusters.lo_x[:m]).astype(np.float32)
+        b = np.nan_to_num(b, posinf=0.0, neginf=0.0)
         boxes = jnp.asarray(b)
     return SceneArrays(
         cluster_boxes=boxes,
@@ -533,7 +535,9 @@ def render_ir(
         from ..ops import raytrace_pallas as rp
         from ..ops import raytrace_pallas_v2 as rp2
 
-        seed = jax.random.randint(key, (), 0, 2**30)
+        # The seed rides in an f32 scalar slot; cap below 2^23 so it survives
+        # the round trip exactly (the kernel further offsets by tile id).
+        seed = jax.random.randint(key, (), 0, 2**23)
         ev_bin_f, ev_w, ev_ear = rp.trace_events_pallas(
             rp2.pack_tris_v2(sc), None,
             jnp.asarray(emitter, jnp.float32),

@@ -143,6 +143,8 @@ def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int,
     body = b"WAVE"
     body += b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
     body += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        body += b"\x00"  # RIFF chunks are word-aligned
     with open(path, "wb") as f:
         f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
 

@@ -51,7 +51,10 @@ def render_ir_matrix(
     """
     emitters = np.atleast_2d(np.asarray(emitters, np.float32))
     receivers = np.atleast_2d(np.asarray(receivers, np.float32))
-    yaws = np.atleast_1d(np.asarray(receiver_yaws_deg, np.float32))
+    # Broadcast a scalar yaw to every listener; mismatched lengths are an
+    # error (a short yaw list would otherwise silently zero listener rows).
+    yaws = np.broadcast_to(np.asarray(receiver_yaws_deg, np.float32),
+                           (receivers.shape[0],))
 
     if mesh is not None:
         def one(k, em, rc, yw):

@@ -128,7 +128,9 @@ def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int):
     sin_phi = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_phi * cos_phi))
 
     gidx = tile * _LANES + jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    in_range = gidx.astype(jnp.float32) < jnp.float32(n_real)
+    # n_real is a static int, so this boundary test is exact at any scale
+    # (an f32 compare would mis-round past 2^24 rays).
+    in_range = gidx < n_real
     zero = jnp.zeros((1, _LANES), jnp.float32)
 
     for k, val in ((C._C_PX, zero + s(C._S_EMX)),
@@ -276,7 +278,10 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
                 t2 = (bx(5) - pz) * ivz
                 tn = jnp.maximum(tn, jnp.minimum(t1, t2))
                 tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-                reach = alive & (tf >= jnp.maximum(tn, 0.0)) & (tn < best[0])
+                # bx(6) is the cluster-valid flag: padding/empty clusters
+                # cannot be rejected by the slab math alone.
+                reach = (alive & (tf >= jnp.maximum(tn, 0.0))
+                         & (tn < best[0]) & (bx(6) > 0.0))
 
                 def enter(b):
                     for g in range(gpc):

@@ -5,8 +5,9 @@ Covers the reference's interactive layers without a GL window or sound card:
 * :class:`RingBuffer` — accumulate/drain ring buffer with the exact semantics
   of the reference's CircularBuffer.h: ``add`` sums in place WITHOUT advancing
   (so overlapping convolution tails from consecutive live blocks stack), and
-  ``get_and_reset`` reads n values, zeroes them, and advances. Backed by the
-  C++ implementation in native/ when built (same layout), numpy otherwise.
+  ``get_and_reset`` reads n values, zeroes them, and advances. This is the
+  pure-numpy implementation; ``native.NativeRingBuffer`` is the semantically
+  identical C++ version for native streaming pipelines.
 
 * :class:`ListenerTrajectory` + :class:`Auralizer` — scripted listener
   movement replacing the GLFW walkthrough: the re-render policy (move beyond
@@ -108,30 +109,44 @@ class ReRenderPolicy:
     """The reference's movement-triggered re-render policy (main.cpp:470-498):
     re-render when the listener moved more than ``distance_threshold`` or
     turned more than ``angle_threshold`` since the last render, or
-    ``settle_seconds`` after the last motion (the 1 s settle re-render)."""
+    ``settle_seconds`` after motion STOPS while the pose still differs from
+    the last render (the 1 s settle re-render)."""
 
     def __init__(self, distance_threshold: float = 2.0,
                  angle_threshold: float = 5.0, settle_seconds: float = 1.0):
         self.distance_threshold = float(distance_threshold)
         self.angle_threshold = float(angle_threshold)
         self.settle_seconds = float(settle_seconds)
-        self._last_pos: np.ndarray | None = None
+        self._last_pos: np.ndarray | None = None  # pose at last render
         self._last_yaw = 0.0
-        self._moved_at: float | None = None
+        self._query_pos: np.ndarray | None = None  # pose at previous query
+        self._query_yaw = 0.0
+        self._moved_at: float | None = None  # time of last observed motion
 
     def should_render(self, t: float, pos: np.ndarray, yaw_deg: float) -> bool:
+        pos = np.asarray(pos, np.float32)
         if self._last_pos is None:
             self._note(t, pos, yaw_deg)
             return True
+        # Track when motion was last OBSERVED (query-to-query), so the
+        # settle timer measures time since motion stopped, not since it
+        # started — matching the reference's lastMovement timestamping.
+        if self._query_pos is not None:
+            step = float(np.linalg.norm(pos - self._query_pos))
+            turn = abs(((yaw_deg - self._query_yaw + 180.0) % 360.0) - 180.0)
+            if step > 1e-6 or turn > 1e-6:
+                self._moved_at = t
+        self._query_pos = pos.copy()
+        self._query_yaw = float(yaw_deg)
+
         moved = float(np.linalg.norm(pos - self._last_pos))
         turned = abs(((yaw_deg - self._last_yaw + 180.0) % 360.0) - 180.0)
         if moved > self.distance_threshold or turned > self.angle_threshold:
             self._note(t, pos, yaw_deg)
             return True
-        if moved > 1e-6 or turned > 1e-6:
-            if self._moved_at is None:
-                self._moved_at = t
-        if self._moved_at is not None and t - self._moved_at >= self.settle_seconds:
+        pose_stale = moved > 1e-6 or turned > 1e-6
+        if (pose_stale and self._moved_at is not None
+                and t - self._moved_at >= self.settle_seconds):
             self._note(t, pos, yaw_deg)
             return True
         return False

@@ -27,22 +27,32 @@ def test_histogram_jit_and_empty_bins():
 
 
 def test_hard_deposit_rounds():
-    bins, ws = binning.hard_deposit(jnp.array([1.4, 1.6, 2.5]), jnp.array([1.0, 1.0, 1.0]), 10)
+    from audiorenderingv2_tpu.core.tracer import _slot_bins
+
+    bins, fracs = _slot_bins(jnp.array([1.4, 1.6, 2.5]),
+                             jnp.array([True, True, True]), 10, soft=False)
     np.testing.assert_array_equal(np.asarray(bins)[:, 0], [1, 2, 2])  # round-half-even on 2.5
-    np.testing.assert_allclose(np.asarray(ws)[:, 0], 1.0)
+    np.testing.assert_allclose(np.asarray(fracs)[:, 0], 1.0)
+    # inactive events route to the overflow marker
+    bins, _ = _slot_bins(jnp.array([1.4]), jnp.array([False]), 10, soft=False)
+    np.testing.assert_array_equal(np.asarray(bins)[:, 0], [10])
 
 
 def test_soft_deposit_interpolates():
-    bins, ws = binning.soft_deposit(jnp.array([2.25]), jnp.array([4.0]), 10)
+    from audiorenderingv2_tpu.core.tracer import _slot_bins
+
+    bins, fracs = _slot_bins(jnp.array([2.25]), jnp.array([True]), 10, soft=True)
     np.testing.assert_array_equal(np.asarray(bins)[0], [2, 3])
-    np.testing.assert_allclose(np.asarray(ws)[0], [3.0, 1.0])
+    np.testing.assert_allclose(np.asarray(fracs)[0], [0.75, 0.25])
 
 
 def test_soft_binning_delay_gradient():
     """d(hist)/d(bin position) must exist and match the interpolation slope."""
+    from audiorenderingv2_tpu.core.tracer import _slot_bins
 
     def loss(bin_f):
-        bins, ws = binning.soft_deposit(bin_f, jnp.ones_like(bin_f), 8)
+        bins, ws = _slot_bins(bin_f, jnp.ones_like(bin_f, dtype=bool), 8,
+                              soft=True)
         hist = binning.histogram_sum(bins, ws, 8)
         return hist[3]  # mass landing in bin 3
 

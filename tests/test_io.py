@@ -73,3 +73,15 @@ def test_normalize_range():
     x = np.array([1.0, 3.0, 2.0])
     y = wav_io.normalize_minus_one_to_one(x)
     np.testing.assert_allclose(y, [-1.0, 1.0, 0.0])
+
+
+def test_wav_odd_payload_word_aligned(tmp_path):
+    """RIFF chunks must be word-aligned: odd data payloads get a pad byte."""
+    p = tmp_path / "odd.wav"
+    x = np.array([[0.1, -0.2, 0.3]], np.float32)  # mono, 3 frames, 24-bit = 9 B
+    wav_io.write_wav(p, x, 8000, bit_depth=24)
+    raw = p.read_bytes()
+    assert len(raw) % 2 == 0
+    back = wav_io.read_wav(p)
+    assert back.n_frames == 3
+    np.testing.assert_allclose(back.samples, x, atol=1e-6)

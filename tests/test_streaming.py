@@ -56,3 +56,29 @@ def test_trajectory_interpolation():
     assert yaw == 45.0
     pos, yaw = traj.at(5.0)
     np.testing.assert_allclose(pos, [4.0, 0, 0])
+
+
+def test_settle_fires_after_motion_stops_not_after_it_starts():
+    """Slow continuous drift must NOT trigger the settle re-render until the
+    listener actually stops (main.cpp:470-498 semantics)."""
+    p = ReRenderPolicy(distance_threshold=5.0, angle_threshold=90.0,
+                       settle_seconds=1.0)
+    assert p.should_render(0.0, np.zeros(3), 0.0)
+    # drift 0.1 m every 0.2 s for 3 s: always moving, always sub-threshold
+    t, x = 0.0, 0.0
+    for i in range(15):
+        t += 0.2
+        x += 0.1
+        assert not p.should_render(t, np.array([x, 0, 0]), 0.0), f"fired at t={t}"
+    # stop moving: settle fires ~1 s later, not before
+    assert not p.should_render(t + 0.5, np.array([x, 0, 0]), 0.0)
+    assert p.should_render(t + 1.1, np.array([x, 0, 0]), 0.0)
+
+
+def test_settle_does_not_fire_at_rendered_pose():
+    p = ReRenderPolicy(settle_seconds=1.0)
+    assert p.should_render(0.0, np.zeros(3), 0.0)
+    # jiggle then return exactly to the rendered pose: nothing to re-render
+    assert not p.should_render(0.2, np.array([0.1, 0, 0]), 0.0)
+    assert not p.should_render(0.4, np.zeros(3), 0.0)
+    assert not p.should_render(2.0, np.zeros(3), 0.0)
