@@ -20,6 +20,8 @@ Covers the reference's interactive layers without a GL window or sound card:
 """
 from __future__ import annotations
 
+import threading
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -169,12 +171,21 @@ class Auralizer:
 
     def __init__(self, renderer, trajectory: ListenerTrajectory,
                  policy: ReRenderPolicy | None = None,
-                 chunk_seconds: float = 0.25, volume: float = 1.0):
+                 chunk_seconds: float = 0.25, volume: float = 1.0,
+                 async_render: bool = False):
         self.renderer = renderer
         self.trajectory = trajectory
         self.policy = policy or ReRenderPolicy()
         self.chunk_seconds = float(chunk_seconds)
         self.volume = float(volume)
+        # async_render reproduces the reference's detached-worker runtime:
+        # audio chunks keep streaming the previous convolution while the
+        # worker renders the new pose in the background (main.cpp:496).
+        # Note: in an UNPACED offline run the chunk loop races ahead of the
+        # worker, so intermediate poses coalesce (the reference behaves the
+        # same when renders are slower than motion); use the synchronous
+        # mode for deterministic offline exports.
+        self.async_render = bool(async_render)
         self.renders = 0
 
     def run(self, samples: np.ndarray) -> np.ndarray:
@@ -186,16 +197,117 @@ class Auralizer:
         length = samples.shape[0]
         out = np.zeros((2, length), np.float32)
         chunk = max(1, int(round(self.chunk_seconds * sr)))
+        worker = (AsyncRenderWorker(self.renderer, samples)
+                  if self.async_render else None)
         current: np.ndarray | None = None
-        for start in range(0, length, chunk):
-            t = start / sr
-            pos, yaw = self.trajectory.at(t)
-            if self.policy.should_render(t, pos, yaw) or current is None:
-                current = self.renderer.full_render_cycle(pos, yaw, samples)
-                self.renders += 1
-            stop = min(start + chunk, length)
-            out[:, start:stop] = current[:, start:stop]
+        try:
+            for start in range(0, length, chunk):
+                t = start / sr
+                pos, yaw = self.trajectory.at(t)
+                fire = self.policy.should_render(t, pos, yaw)
+                if worker is not None:
+                    if fire or current is None:
+                        worker.request(pos, yaw)
+                    if current is None:
+                        worker.wait_idle()  # block only for the first IR
+                    latest = worker.latest
+                    if latest is not None:
+                        current = latest
+                elif fire or current is None:
+                    current = self.renderer.full_render_cycle(pos, yaw, samples)
+                    self.renders += 1
+                stop = min(start + chunk, length)
+                out[:, start:stop] = current[:, start:stop]
+        finally:
+            if worker is not None:
+                worker.wait_idle()
+                self.renders += worker.renders
+                worker.close()
         return out * self.volume
+
+
+class AsyncRenderWorker:
+    """Background re-render worker — the reference's detached render thread.
+
+    The reference spawns a detached ``full_render`` thread when the listener
+    moves, while the audio callback keeps streaming the previous buffers
+    guarded by an is_rendering flag (main.cpp:40-67, 496-497; Context
+    is_rendering). This worker reproduces that runtime: ``request(pos, yaw)``
+    queues the newest pose (coalescing older requests, like the reference's
+    single worker), a daemon thread renders+convolves, and readers take the
+    most recent completed output via ``latest`` under the renderer lock.
+    """
+
+    def __init__(self, renderer, samples: np.ndarray):
+        self.renderer = renderer
+        self.samples = samples
+        self._pending: tuple | None = None
+        self._cv = threading.Condition()
+        self._latest: np.ndarray | None = None
+        self._renders = 0
+        self._stop = False
+        self._is_rendering = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    @property
+    def is_rendering(self) -> bool:
+        """The reference's is_rendering flag (Context.cpp:499-507)."""
+        return self._is_rendering
+
+    @property
+    def renders(self) -> int:
+        return self._renders
+
+    @property
+    def latest(self) -> np.ndarray | None:
+        """Most recent completed stereo output [2, L] (None before the
+        first render finishes)."""
+        with self._cv:
+            return self._latest
+
+    def request(self, pos, yaw_deg: float) -> None:
+        """Queue a re-render at this pose; newer requests supersede queued
+        ones (only the latest pose matters, as in the reference)."""
+        with self._cv:
+            self._pending = (np.asarray(pos, np.float32).copy(), float(yaw_deg))
+            self._cv.notify()
+
+    def wait_idle(self, timeout: float = 60.0) -> None:
+        """Block until no render is queued or in flight (for tests/offline)."""
+        deadline = time.time() + timeout
+        with self._cv:
+            while (self._pending is not None or self._is_rendering):
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    raise TimeoutError("render worker still busy")
+                self._cv.wait(min(remaining, 0.1))
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=10.0)
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while self._pending is None and not self._stop:
+                    self._cv.wait(0.1)
+                if self._stop:
+                    return
+                pos, yaw = self._pending
+                self._pending = None
+                self._is_rendering = True
+            try:
+                out = self.renderer.full_render_cycle(pos, yaw, self.samples)
+                with self._cv:
+                    self._latest = out
+                    self._renders += 1
+            finally:
+                with self._cv:
+                    self._is_rendering = False
+                    self._cv.notify_all()
 
 
 class LiveConvolver:

@@ -82,3 +82,57 @@ def test_settle_does_not_fire_at_rendered_pose():
     assert not p.should_render(0.2, np.array([0.1, 0, 0]), 0.0)
     assert not p.should_render(0.4, np.zeros(3), 0.0)
     assert not p.should_render(2.0, np.zeros(3), 0.0)
+
+
+def test_async_render_worker():
+    """The detached-worker runtime: requests coalesce, latest output swaps in
+    (main.cpp:40-67 semantics)."""
+    import audiorenderingv2_tpu as ar
+    from audiorenderingv2_tpu import testing
+    from audiorenderingv2_tpu.renderer import AudioRenderer
+    from audiorenderingv2_tpu.streaming import AsyncRenderWorker
+
+    v, t = testing.box_room((10.0, 8.0, 9.0))
+    scene = testing.scene_from_arrays(v, t, 0.3)
+    r = AudioRenderer(scene, ir_seconds=1, sample_rate=8000, n_rays=256,
+                      base_power=3.62, max_bounces=4,
+                      opts=ar.TracerOptions(block_size=256, tri_chunk=128))
+    samples = np.random.default_rng(0).normal(size=8000).astype(np.float32)
+    w = AsyncRenderWorker(r, samples)
+    try:
+        assert w.latest is None
+        w.request([2.0, 0.0, 1.0], 0.0)
+        w.wait_idle()
+        first = w.latest
+        assert first is not None and first.shape == (2, 8000)
+        w.request([1.0, 1.0, -1.0], 45.0)
+        w.wait_idle()
+        assert w.renders == 2
+        assert not np.array_equal(w.latest, first)
+    finally:
+        w.close()
+
+
+def test_auralizer_async_mode():
+    import audiorenderingv2_tpu as ar
+    from audiorenderingv2_tpu import testing
+    from audiorenderingv2_tpu.renderer import AudioRenderer
+    from audiorenderingv2_tpu.streaming import Auralizer
+
+    v, t = testing.box_room((10.0, 8.0, 9.0))
+    scene = testing.scene_from_arrays(v, t, 0.3)
+    r = AudioRenderer(scene, ir_seconds=1, sample_rate=8000, n_rays=256,
+                      base_power=3.62, max_bounces=4,
+                      opts=ar.TracerOptions(block_size=256, tri_chunk=128))
+    traj = ListenerTrajectory([
+        TrajectoryPoint(0.0, np.array([2.0, 0.0, 1.0], np.float32), 0.0),
+        TrajectoryPoint(1.0, np.array([-2.0, 0.0, -1.0], np.float32), 90.0),
+    ])
+    samples = np.random.default_rng(1).normal(size=8000).astype(np.float32) * 0.1
+    aur = Auralizer(r, traj, ReRenderPolicy(2.0, 5.0, 1.0),
+                    chunk_seconds=0.25, async_render=True)
+    out = aur.run(samples)
+    assert out.shape == (2, 8000)
+    assert np.isfinite(out).all()
+    assert (out != 0).any()
+    assert aur.renders >= 2  # initial + at least one movement re-render
