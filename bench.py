@@ -63,8 +63,11 @@ def main():
                             tri_chunk=1024,
                             backend=backend,
                             rays_per_tile=int(os.environ.get("AR2_BENCH_TILE", 256)),
+                            # native-RNG init measures the same speed but compiles
+                            # ~10x slower through the remote-compile tunnel;
+                            # keep the round-end bench snappy by default.
                             pallas_native_rng=(backend == "pallas" and
-                                               os.environ.get("AR2_BENCH_NATIVE_RNG", "1") == "1"))
+                                               os.environ.get("AR2_BENCH_NATIVE_RNG", "0") == "1"))
     sc = ar.scene_to_arrays(scene, opts.tri_chunk)
 
     @jax.jit
