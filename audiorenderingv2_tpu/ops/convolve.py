@@ -76,12 +76,19 @@ def convolve_file(samples: jax.Array, ir: jax.Array, sample_rate: int) -> jax.Ar
     return out * 2.0
 
 
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
 def convolve_file_stereo(samples: jax.Array, ir_stereo: jax.Array,
                          sample_rate: int) -> jax.Array:
-    """Both ears in one vmapped call. ir_stereo [2, ir_length] -> [2, L]."""
+    """Both ears in one vmapped call. ir_stereo [2, ir_length] -> [2, L].
+
+    Jitted (cached per shape): the interactive loop re-convolves the whole
+    signal on every listener move, and eager op-by-op dispatch made that
+    ~30x slower than the compiled graph.
+    """
     return jax.vmap(lambda ir: convolve_file(samples, ir, sample_rate))(ir_stereo)
 
 
+@jax.jit
 def convolve_live(block: jax.Array, ir_stereo: jax.Array) -> jax.Array:
     """Live-input block convolution (kernels.cu:345-377).
 

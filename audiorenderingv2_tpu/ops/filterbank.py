@@ -13,6 +13,8 @@ result bit-for-bit up to float error.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,6 +60,7 @@ def split_bands(x: jax.Array, sample_rate: int,
     return jnp.fft.irfft(spec[None, :] * gains, n=length, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("sample_rate", "edges"))
 def convolve_file_banded(samples: jax.Array, ir_banded: jax.Array,
                          sample_rate: int,
                          edges=DEFAULT_BAND_EDGES) -> jax.Array:

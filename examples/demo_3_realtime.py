@@ -54,6 +54,11 @@ def main(out_path="demo_walkthrough.wav"):
     ])
     aur = Auralizer(renderer, traj,
                     ReRenderPolicy(distance_threshold=2.0, angle_threshold=5.0))
+    # Warm up the jit caches (compile is a one-time startup cost, like the
+    # reference's OptiX pipeline build) so the timing measures steady state.
+    t0 = time.time()
+    renderer.full_render_cycle(np.asarray(traj.points[0].position), 0.0, samples)
+    print(f"startup (compile + first render): {time.time() - t0:.1f}s")
     t0 = time.time()
     out = aur.run(samples)
     wall = time.time() - t0
