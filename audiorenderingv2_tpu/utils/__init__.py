@@ -1,3 +1,3 @@
-from . import profiling
+from . import acoustics, profiling
 
-__all__ = ["profiling"]
+__all__ = ["acoustics", "profiling"]
