@@ -152,10 +152,14 @@ def fit_scene_parameters(
 
     theta0: dict = {}
     if fit_absorption:
+        # Banded params fit a [n_materials+1, n_bands] table — per-band
+        # frequency-dependent absorption recovery.
+        shape = ((n_mats + 1,) if params.n_bands == 1
+                 else (n_mats + 1, params.n_bands))
         init_a = np.clip(np.asarray(init_absorption, np.float32), 1e-4, 1 - 1e-4)
         logits = np.log(init_a / (1.0 - init_a))
         theta0["absorption_logits"] = jnp.broadcast_to(
-            jnp.asarray(logits, jnp.float32), (n_mats + 1,))
+            jnp.asarray(logits, jnp.float32), shape)
     if fit_emitter:
         theta0["emitter"] = jnp.asarray(init_emitter, jnp.float32)
     if not theta0:

@@ -118,3 +118,29 @@ def test_inverse_fit_recovers_absorption():
     # material slot -1 (the only one used: scene has no named materials)
     assert fitted[-1] == pytest.approx(true_a, abs=0.05)
     assert res.losses[-1] < res.losses[0] * 0.05
+
+
+def test_inverse_fit_recovers_banded_absorption():
+    """Frequency-dependent inverse: recover per-band absorption [0.2, 0.6]."""
+    import numpy as _np
+
+    from audiorenderingv2_tpu.scene import build_scene
+    from audiorenderingv2_tpu.testing import mesh_from_arrays
+
+    true_bands = _np.array([0.2, 0.6], _np.float32)
+    v, t = testing.box_room((10.0, 8.0, 9.0))
+    scene = build_scene(mesh_from_arrays(v, t),
+                        _np.tile(true_bands, (len(t), 1)))
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=4, n_bands=2)
+    rec = (1.5, 0.5, -2.0)
+    opts = ar.TracerOptions(block_size=128, tri_chunk=128)
+    target = render_soft_ir(scene, params, n_rays=256, emitter=(0., 0., 0.),
+                            receiver_pos=rec, opts=opts, seed=13)
+    assert target.shape == (2, 2, SR)
+    res = fit_scene_parameters(
+        scene, target, params, n_rays=256, steps=80, learning_rate=0.1,
+        receiver_pos=rec, seed=13, opts=opts)
+    fitted = res.params["absorption"][-1]  # the no-material slot, [2]
+    np.testing.assert_allclose(fitted, true_bands, atol=0.06)
+    assert res.losses[-1] < res.losses[0] * 0.05
