@@ -294,28 +294,48 @@ def _compaction_keys(state: jax.Array, coherent: bool) -> jax.Array:
 def _partition_alive_first(state: jax.Array) -> jax.Array:
     """Stable alive-first reorder of the ray state.
 
-    (A cumsum + searchsorted partition was tried here and measured 3x SLOWER
-    than argsort on TPU — XLA lowers the million-query searchsorted poorly —
-    so this stays a stable single-key argsort.)
+    The key is a single bit, so a full sort is overkill: two cumsums give
+    each ray its destination slot, a 1-element-per-ray scatter of iota turns
+    that inverse permutation into a forward one, and a row gather applies it.
+    Measured ~0.1 ms at 1M x 16 on v5e vs ~2.5-60 ms for stable argsort +
+    gather (and a searchsorted variant measured 3x worse than argsort).
     """
-    order = jnp.argsort(state[:, _C_DONE], stable=True)
-    return jnp.take(state, order, axis=0)
+    n = state.shape[0]
+    alive = (state[:, _C_DONE] == 0.0).astype(jnp.int32)
+    ca = jnp.cumsum(alive)
+    cd = jnp.cumsum(1 - alive)
+    dest = jnp.where(alive > 0, ca - 1, ca[-1] + cd - 1)
+    perm = jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True, mode="drop")
+    return jnp.take(state, perm, axis=0)
+
+
+def _sort_state_by_keys(state: jax.Array, keys: jax.Array) -> jax.Array:
+    """Stable key sort of the ray state via one multi-operand lax.sort
+    (key + each state column as payload) — measured far cheaper than
+    argsort + row gather at 1M rays."""
+    cols = [state[:, j] for j in range(state.shape[1])]
+    out = jax.lax.sort([keys, *cols], num_keys=1, is_stable=True)
+    return jnp.stack(out[1:], axis=1)
 
 
 def _round_schedule(max_bounces: int, first: int = 6,
-                    growth: int = 4) -> list[int]:
+                    growth: int = 2) -> list[int]:
     """Geometric per-round bounce budgets summing to >= max_bounces.
 
     Early rounds are short (most rays die fast — escape or reach the
     receiver); later rounds are long but run on the compacted survivors.
-    Each round boundary costs an argsort+gather compaction (~70 ms at 1M
-    rays on v5e), so the schedule is deliberately coarse: 100 bounces ->
-    [6, 24, 70], i.e. two compactions."""
+    Compaction is a cumsum partition + gather (~0.1 ms at 1M rays on v5e,
+    see :func:`_partition_alive_first`), cheap enough for doubling rounds;
+    the final round absorbs a sub-geometric remainder so a tiny tail round
+    never pays a full grid sweep: 100 bounces -> [6, 12, 24, 58]."""
     budgets = []
     total = 0
     b = first
     while total < max_bounces:
-        b = min(b, max_bounces - total)
+        remaining = max_bounces - total
+        # take the whole remainder once it stops being worth another round
+        b = remaining if remaining <= b + b // 2 else min(b, remaining)
         budgets.append(b)
         total += b
         b *= growth
@@ -428,7 +448,7 @@ def trace_events_pallas(
                 st = v2.from_tiles(tiles)
                 if boxes is not None:
                     keys = _compaction_keys(st, coherent=True)
-                    st = jnp.take(st, jnp.argsort(keys, stable=True), axis=0)
+                    st = _sort_state_by_keys(st, keys)
                 else:
                     st = _partition_alive_first(st)
                 tiles = v2.to_tiles(st)

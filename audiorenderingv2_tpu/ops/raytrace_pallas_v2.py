@@ -104,7 +104,32 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
         sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
         *ab_cols, sc.valid, *pad_cols,
     ], axis=1).astype(jnp.float32)  # [T, 8]; valid at col 3 + n_bands
-    return coeffs, attrs, sc.cluster_boxes
+
+    # Trim trailing padding so the kernel never intersects groups that are
+    # 100% padding (lane alignment pads tiny scenes up to 128 triangles —
+    # e.g. 3D_U.obj is 10 real triangles in 16 groups, 87% dead work).
+    # Padding lives at the tail (scene_to_arrays / Morton sort preserve
+    # that), and trimming is only possible when ``valid`` is concrete
+    # (outside jit). Cluster-culled scenes trim whole 128-tri clusters to
+    # keep the cluster->group indexing intact.
+    boxes = sc.cluster_boxes
+    if not isinstance(sc.valid, jax.core.Tracer):
+        # numpy, not jnp: under an outer jit, jnp ops on this concrete
+        # closure constant would stage out and return tracers.
+        import numpy as np
+        n_valid = int(np.sum(np.asarray(sc.valid) > 0))
+        if boxes is None:
+            keep = max(1, -(-n_valid // _GROUP))
+            if keep < t // _GROUP:
+                coeffs = coeffs[:keep * _AROWS]
+                attrs = attrs[:keep * _GROUP]
+        else:
+            keep_c = max(1, -(-n_valid // 128))
+            if keep_c < boxes.shape[0]:
+                coeffs = coeffs[:keep_c * (128 // _GROUP) * _AROWS]
+                attrs = attrs[:keep_c * 128]
+                boxes = boxes[:keep_c]
+    return coeffs, attrs, boxes
 
 
 def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int):
