@@ -125,6 +125,8 @@ def fit_scene_parameters(
     callback: Callable[[int, float, dict], None] | None = None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 50,
+    method: str = "full",
+    replay_refresh: int = 25,
 ) -> FitResult:
     """Fit per-material absorption and/or emitter position to a target IR.
 
@@ -132,6 +134,13 @@ def fit_scene_parameters(
     A fixed direction set (common random numbers) keeps the Monte-Carlo
     noise identical across steps, so the optimizer sees a smooth landscape.
     Returns the fitted parameters and the loss curve.
+
+    ``method``: "full" back-propagates through the complete nearest-hit
+    search every step (exact, O(rays*bounces*triangles) per step);
+    "replay" records path topology once per ``replay_refresh`` steps with
+    the forward tracer and differentiates the O(rays*bounces) replay
+    (diff/replay.py) — the same gradients wherever topology is locally
+    constant, and the only tractable option at large ray counts.
     """
     opts = _diff_opts(opts)
     sc = scene_to_arrays(scene, opts.tri_chunk)
@@ -166,26 +175,51 @@ def fit_scene_parameters(
         raise ValueError("nothing to fit")
 
     fixed_emitter = jnp.asarray(init_emitter, jnp.float32)
+    use_replay = method == "replay"
+    if method not in ("full", "replay"):
+        raise ValueError(f"unknown method {method!r}")
+    if use_replay:
+        from . import replay as replay_mod
 
-    def predict(theta):
+    def predict(theta, paths):
         sc_t = sc
         if fit_absorption:
             per_mat = jax.nn.sigmoid(theta["absorption_logits"])
             sc_t = with_material_absorption(sc_t, mat_ids, per_mat)
         emitter = theta.get("emitter", fixed_emitter)
-        irs = [trace_ir(sc_t, dirs, emitter, recs[i], yaws[i], params, opts)
-               for i in range(recs.shape[0])]
+        if use_replay:
+            ids, recv = paths
+            irs = [replay_mod.render_ir_replay(
+                       sc_t, ids[i], recv[i], dirs, emitter, recs[i], yaws[i],
+                       params, soft_binning=True)
+                   for i in range(recs.shape[0])]
+        else:
+            irs = [trace_ir(sc_t, dirs, emitter, recs[i], yaws[i], params,
+                            opts) for i in range(recs.shape[0])]
         return jnp.stack(irs) if multi_rec else irs[0]
 
-    def loss_fn(theta):
-        return ir_loss(predict(theta), target_ir, loss_kind, smooth_radius)
+    def loss_fn(theta, paths):
+        return ir_loss(predict(theta, paths), target_ir, loss_kind,
+                       smooth_radius)
+
+    def record(theta):
+        sc_t = sc
+        if fit_absorption:
+            per_mat = jax.nn.sigmoid(theta["absorption_logits"])
+            sc_t = with_material_absorption(sc_t, mat_ids, per_mat)
+        emitter = theta.get("emitter", fixed_emitter)
+        out = [replay_mod.record_paths(sc_t, dirs, emitter, recs[i], yaws[i],
+                                       params, opts)
+               for i in range(recs.shape[0])]
+        return (jnp.stack([o[0] for o in out]),
+                jnp.stack([o[1] for o in out]))
 
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(theta0)
 
     @jax.jit
-    def step_fn(theta, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(theta)
+    def step_fn(theta, opt_state, paths):
+        loss, grads = jax.value_and_grad(loss_fn)(theta, paths)
         updates, opt_state = optimizer.update(grads, opt_state)
         return optax.apply_updates(theta, updates), opt_state, loss
 
@@ -199,8 +233,13 @@ def fit_scene_parameters(
         if restored is not None:
             start_step, theta, opt_state, losses = restored
 
+    paths = None
     for i in range(start_step, steps):
-        theta, opt_state, loss = step_fn(theta, opt_state)
+        if use_replay and (paths is None or i % max(replay_refresh, 1) == 0):
+            # topology moves with the emitter (and, via the energy cutoff,
+            # with absorption) — re-record at the current parameters
+            paths = record(theta)
+        theta, opt_state, loss = step_fn(theta, opt_state, paths)
         losses.append(float(loss))
         if callback is not None:
             callback(i, float(loss), theta)
