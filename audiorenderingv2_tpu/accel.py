@@ -71,14 +71,35 @@ class ClusterData:
         return int(self.lo_x.shape[0])
 
 
-def sort_scene_for_clusters(scene: Scene) -> Scene:
+def sort_scene_for_clusters(scene: Scene, big_frac: float = 0.25) -> Scene:
     """Reorder a Scene's triangles along the Morton curve (padding stays at
     the tail). Returns a new Scene; histograms/IRs are unaffected because
     triangle order only changes argmin tie-breaks between coincident
-    surfaces."""
+    surfaces.
+
+    Triangles whose AABB diagonal exceeds ``big_frac`` of the scene diagonal
+    (room walls, floors) are quarantined at the FRONT, in their own leading
+    cluster(s): a giant triangle Morton-sorted by centroid would inflate its
+    cluster's AABB to near scene size, making that cluster (and its
+    supercluster) reachable from everywhere and defeating the culling for
+    the 127 small triangles sharing it. Quarantined, only the few leading
+    clusters are always-entered; every other cluster stays tight."""
     t = scene.n_triangles
-    centroids = (scene.v0[:t] + scene.v1[:t] + scene.v2[:t]) / 3.0
-    perm = morton_order(centroids, scene.bounds_min, scene.bounds_max)
+    v0, v1, v2 = scene.v0[:t], scene.v1[:t], scene.v2[:t]
+    centroids = (v0 + v1 + v2) / 3.0
+    lo = np.minimum(np.minimum(v0, v1), v2)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+    diag = np.linalg.norm(hi - lo, axis=1)
+    scene_diag = float(np.linalg.norm(
+        np.asarray(scene.bounds_max) - np.asarray(scene.bounds_min)))
+    big = diag > big_frac * max(scene_diag, 1e-9)
+    small_idx = np.where(~big)[0]
+    big_idx = np.where(big)[0]
+    perm = np.concatenate([
+        big_idx[np.argsort(-diag[big_idx], kind="stable")],
+        small_idx[morton_order(centroids[small_idx], scene.bounds_min,
+                               scene.bounds_max)],
+    ]).astype(np.int64)
     full = np.concatenate([perm, np.arange(t, scene.t_padded)])
 
     def take(x):

@@ -43,6 +43,9 @@ _LANES = 128
 _GROUP = 8          # triangles per sublane group
 _NQ = 6             # dot-product quantities: no, nd, ou, du, ov, dv
 _AROWS = _NQ * _GROUP  # rows of the per-group MXU coefficient matrix
+_SUPER_FAN = 8      # clusters per supercluster (2-level culling)
+_SUPER_MIN_CLUSTERS = 16  # enable the second level from 2048 triangles up
+_CROWS = _NQ * _GROUP  # coefficient rows per cluster (48) in the v3 layout
 
 # Transposed triangle attribute columns ([T, 8]): unit normal, then
 # n_bands absorption columns, then the valid flag (_T_ABS + n_bands).
@@ -60,14 +63,30 @@ def state_ncols(n_bands: int) -> int:
 
 
 def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
-    """Build (coeff [T/8*48, 8], attrs [T, 8]) for the v2 kernel.
+    """Build the packed-triangle operands for the v2 kernel; returns
+    (coeffs, attrs, boxes, sboxes).
 
-    coeff row layout per 8-triangle group g: rows [g*48 + q*8 + i] hold the
-    8 PD-coefficients of quantity q for triangle g*8+i, with PD =
-    (px, py, pz, vx, vy, vz, 1, 0):
+    Two layouts, chosen by whether the scene carries Morton clusters:
+
+    * **group layout** (small scenes, ``boxes is None``): coeff [T/8*48, 8]
+      — rows [g*48 + q*8 + i] hold the 8 PD-coefficients of quantity q for
+      triangle g*8+i — and attrs [T, 8]. Lane-padding waste is irrelevant
+      at this size.
+    * **cluster layout** (``boxes`` set): coeff [C*48, 128] — for cluster
+      c, row c*48 + q*8 + k, column j = coefficient k of quantity q of
+      triangle c*128+j — and attrs [C*8, 128] (rows nx, ny, nz,
+      absorption bands, zero pad; columns = triangles). Triangles live in
+      the LANE dimension, so VMEM cost is 28 KB per 128-triangle cluster
+      instead of the group layout's 16x lane-padded ~160 KB; the kernel
+      intersects a whole cluster per step with lhs-transposed MXU dots.
+
+    The six quantities, with PD = (px, py, pz, vx, vy, vz, 1, 0):
       no = pn . p + pd     nd = pn . v
       ou = au . p + u_off  du = au . v
       ov = av . p + v_off  dv = av . v
+    Invalid/padding triangles get all-zero coefficients (nd == 0 can never
+    pass the intersection's ``safe`` test), so the cluster path needs no
+    separate validity column.
     """
     t = sc.plane_n.shape[0]
     if t % _GROUP:
@@ -89,9 +108,6 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
         coeff(sc.bary_v, sc.v_off, True),
         coeff(sc.bary_v, zeros, False),
     ], axis=1)  # [T, 6 quantities, 8 coefficients]
-    # rows per group: (quantity, tri-in-group) -> [G, 6, 8tri, 8coef]
-    coeffs = q.reshape(t // _GROUP, _GROUP, _NQ, 8).transpose(0, 2, 1, 3)
-    coeffs = coeffs.reshape(t // _GROUP * _AROWS, 8).astype(jnp.float32)
 
     if n_bands > _MAX_BANDS:
         raise ValueError(f"v2 kernel supports at most {_MAX_BANDS} bands")
@@ -99,37 +115,90 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
     if absorb.ndim == 1:
         absorb = absorb[:, None]
     ab_cols = [absorb[:, min(b, absorb.shape[1] - 1)] for b in range(n_bands)]
-    pad_cols = [zeros] * (_TN_COLS - 4 - n_bands)
-    attrs = jnp.stack([
-        sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
-        *ab_cols, sc.valid, *pad_cols,
-    ], axis=1).astype(jnp.float32)  # [T, 8]; valid at col 3 + n_bands
+    boxes = sc.cluster_boxes
 
-    # Trim trailing padding so the kernel never intersects groups that are
+    # Trim trailing padding so the kernel never intersects blocks that are
     # 100% padding (lane alignment pads tiny scenes up to 128 triangles —
     # e.g. 3D_U.obj is 10 real triangles in 16 groups, 87% dead work).
     # Padding lives at the tail (scene_to_arrays / Morton sort preserve
     # that), and trimming is only possible when ``valid`` is concrete
-    # (outside jit). Cluster-culled scenes trim whole 128-tri clusters to
-    # keep the cluster->group indexing intact.
-    boxes = sc.cluster_boxes
+    # (outside jit).
+    n_valid = None
     if not isinstance(sc.valid, jax.core.Tracer):
         # numpy, not jnp: under an outer jit, jnp ops on this concrete
         # closure constant would stage out and return tracers.
         import numpy as np
         n_valid = int(np.sum(np.asarray(sc.valid) > 0))
-        if boxes is None:
+
+    if boxes is None:
+        # group layout: [G*48, 8] coefficient rows, [T, 8] attributes
+        coeffs = q.reshape(t // _GROUP, _GROUP, _NQ, 8).transpose(0, 2, 1, 3)
+        coeffs = coeffs.reshape(t // _GROUP * _AROWS, 8).astype(jnp.float32)
+        pad_cols = [zeros] * (_TN_COLS - 4 - n_bands)
+        attrs = jnp.stack([
+            sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
+            *ab_cols, sc.valid, *pad_cols,
+        ], axis=1).astype(jnp.float32)  # [T, 8]; valid at col 3 + n_bands
+        if n_valid is not None:
             keep = max(1, -(-n_valid // _GROUP))
             if keep < t // _GROUP:
                 coeffs = coeffs[:keep * _AROWS]
                 attrs = attrs[:keep * _GROUP]
-        else:
-            keep_c = max(1, -(-n_valid // 128))
-            if keep_c < boxes.shape[0]:
-                coeffs = coeffs[:keep_c * (128 // _GROUP) * _AROWS]
-                attrs = attrs[:keep_c * 128]
-                boxes = boxes[:keep_c]
-    return coeffs, attrs, boxes
+        return coeffs, attrs, None, None
+
+    # cluster layout: triangles in lanes
+    if t % 128:
+        raise ValueError(f"clustered scene: {t} tris not a multiple of 128")
+    n_clus = t // 128
+    q = q * (sc.valid > 0).astype(jnp.float32)[:, None, None]
+    coeffs = q.reshape(n_clus, 128, _NQ, 8).transpose(0, 2, 3, 1) \
+        .reshape(n_clus * _CROWS, 128).astype(jnp.float32)
+    pad_rows = [zeros] * (_TN_COLS - 3 - n_bands)
+    attrs = jnp.stack([
+        sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
+        *ab_cols, *pad_rows,
+    ], axis=1).astype(jnp.float32)  # [T, 8] -> per-cluster [8 rows, 128]
+    attrs = attrs.reshape(n_clus, 128, _TN_COLS).transpose(0, 2, 1) \
+        .reshape(n_clus * _TN_COLS, 128)
+    if n_valid is not None:
+        keep_c = max(1, -(-n_valid // 128))
+        if keep_c < boxes.shape[0]:
+            coeffs = coeffs[:keep_c * _CROWS]
+            attrs = attrs[:keep_c * _TN_COLS]
+            boxes = boxes[:keep_c]
+    sboxes = None
+    if boxes.shape[0] >= _SUPER_MIN_CLUSTERS:
+        coeffs, attrs, boxes, sboxes = _build_superclusters(
+            coeffs, attrs, boxes)
+    return coeffs, attrs, boxes, sboxes
+
+
+def _build_superclusters(coeffs, attrs, boxes):
+    """Second culling level: union-AABBs over ``_SUPER_FAN`` consecutive
+    (Morton-ordered) clusters. Pads the cluster-layout triangle/box arrays
+    to a whole number of superclusters with never-hit entries so in-kernel
+    indexing ``s*fan + q`` stays in range."""
+    c = boxes.shape[0]
+    c_pad = -(-c // _SUPER_FAN) * _SUPER_FAN
+    if c_pad != c:
+        extra = c_pad - c
+        boxes = jnp.concatenate(
+            [boxes, jnp.zeros((extra, boxes.shape[1]), boxes.dtype)])
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros((extra * _CROWS, 128), coeffs.dtype)])
+        attrs = jnp.concatenate(
+            [attrs, jnp.zeros((extra * _TN_COLS, 128), attrs.dtype)])
+    grp = boxes.reshape(c_pad // _SUPER_FAN, _SUPER_FAN, -1)
+    valid = grp[:, :, 6] > 0
+    big = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(valid[:, :, None], grp[:, :, 0:3], big), axis=1)
+    hi = jnp.max(jnp.where(valid[:, :, None], grp[:, :, 3:6], -big), axis=1)
+    any_valid = jnp.any(valid, axis=1).astype(jnp.float32)
+    sboxes = jnp.concatenate(
+        [jnp.where(any_valid[:, None] > 0, lo, 0.0),
+         jnp.where(any_valid[:, None] > 0, hi, 0.0),
+         any_valid[:, None], jnp.zeros_like(any_valid[:, None])], axis=1)
+    return coeffs, attrs, boxes, sboxes
 
 
 def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int):
@@ -199,9 +268,10 @@ def _band_cols(n_bands: int):
     return en, evw
 
 
-def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
-                           out_ref, *, n_groups: int, max_bounces: int,
-                           round_budget: int, n_clusters: int,
+def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, sbox_ref,
+                           state_ref, out_ref, *, n_groups: int,
+                           max_bounces: int, round_budget: int,
+                           n_clusters: int, n_supers: int,
                            use_cull: bool, n_bands: int):
     s = lambda j: scal_ref[0, j]
     inf = jnp.float32(jnp.inf)
@@ -287,10 +357,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
             inv = lambda v: 1.0 / jnp.where(
                 jnp.abs(v) > eps_d, v, jnp.where(v >= 0, eps_d, -eps_d))
             ivx, ivy, ivz = inv(vx), inv(vy), inv(vz)
-            gpc = 128 // _GROUP  # triangle groups per cluster
-
-            def cluster_step(c, best):
-                bx = lambda j: box_ref[c, j]
+            def slab_reach(bx, best_t):
                 t1 = (bx(0) - px) * ivx
                 t2 = (bx(3) - px) * ivx
                 tn = jnp.minimum(t1, t2)
@@ -303,19 +370,75 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
                 t2 = (bx(5) - pz) * ivz
                 tn = jnp.maximum(tn, jnp.minimum(t1, t2))
                 tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-                # bx(6) is the cluster-valid flag: padding/empty clusters
-                # cannot be rejected by the slab math alone.
-                reach = (alive & (tf >= jnp.maximum(tn, 0.0))
-                         & (tn < best[0]) & (bx(6) > 0.0))
+                # bx(6) is the box-valid flag: padding/empty boxes cannot
+                # be rejected by the slab math alone.
+                return (alive & (tf >= jnp.maximum(tn, 0.0))
+                        & (tn < best_t) & (bx(6) > 0.0))
 
-                def enter(b):
-                    for g in range(gpc):
-                        b = group_step(c * gpc + g, b)
-                    return b
+            def cluster_intersect(c, best):
+                # Whole-cluster intersection: triangles in lanes. Six
+                # lhs-transposed MXU dots give the [128 tri, 128 ray]
+                # quantity blocks; the winner's attributes come from ONE
+                # [8, 128] @ [128, 128] dot against the 0/1 winner mask.
+                best_t, bnx, bny, bnz, bab = best
+                a = coeff_ref[pl.ds(c * _CROWS, _CROWS), :]    # [48, 128]
+                at = attr_ref[pl.ds(c * _TN_COLS, _TN_COLS), :]  # [8, 128]
+                dot_t = lambda lhs, rhs: jax.lax.dot_general(
+                    lhs, rhs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                no = dot_t(a[0:8], pd8)
+                nd = dot_t(a[8:16], pd8)
+                ou = dot_t(a[16:24], pd8)
+                du = dot_t(a[24:32], pd8)
+                ov = dot_t(a[32:40], pd8)
+                dv = dot_t(a[40:48], pd8)
+                safe = jnp.abs(nd) > 1e-12  # zero coeffs (padding) fail here
+                t = -no / jnp.where(safe, nd, 1.0)
+                u = ou + t * du
+                v = ov + t * dv
+                ok = (safe & (t > constants.T_MIN)
+                      & (u >= -1e-7) & (v >= -1e-7) & (u + v <= 1.0 + 1e-7))
+                tm = jnp.where(ok, t, inf)
+                gt = jnp.min(tm, axis=0, keepdims=True)        # [1, 128]
+                better = gt < best_t
+                tsub = jax.lax.broadcasted_iota(jnp.int32, (128, _LANES), 0)
+                win_sub = jnp.min(jnp.where(tm <= gt, tsub, 128),
+                                  axis=0, keepdims=True)
+                winf = (tsub == win_sub).astype(jnp.float32)   # [128, 128]
+                picked = jax.lax.dot_general(
+                    at, winf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)       # [8, 128]
+                return (jnp.where(better, gt, best_t),
+                        jnp.where(better, picked[0:1], bnx),
+                        jnp.where(better, picked[1:2], bny),
+                        jnp.where(better, picked[2:3], bnz),
+                        tuple(jnp.where(better, picked[3 + b:4 + b], bab[b])
+                              for b in range(n_bands)))
 
-                return jax.lax.cond(jnp.any(reach), enter, lambda b: b, best)
+            def cluster_step(c, best):
+                reach = slab_reach(lambda j: box_ref[c, j], best[0])
+                return jax.lax.cond(jnp.any(reach),
+                                    functools.partial(cluster_intersect, c),
+                                    lambda b: b, best)
 
-            if n_clusters <= 8:
+            if n_supers > 0:
+                # Two-level: one supercluster slab test prices in
+                # _SUPER_FAN cluster tests + conds; large Morton-coherent
+                # scenes reject most of the tree at this level.
+                def super_step(s, best):
+                    reach = slab_reach(lambda j: sbox_ref[s, j], best[0])
+                    return jax.lax.cond(
+                        jnp.any(reach),
+                        lambda b: jax.lax.fori_loop(
+                            s * _SUPER_FAN, (s + 1) * _SUPER_FAN,
+                            cluster_step, b),
+                        lambda b: b, best)
+
+                best_t, bnx, bny, bnz, bab = jax.lax.fori_loop(
+                    0, n_supers, super_step, best0)
+            elif n_clusters <= 8:
                 best = best0
                 for c in range(n_clusters):
                     best = cluster_step(c, best)
@@ -402,12 +525,14 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, state_ref,
         out_ref[0, k] = writes.get(k, zero)
 
 
-def trace_round_v2(state, coeffs, attrs, boxes, scal, params: TraceParams,
-                   round_budget: int, interpret: bool = False) -> jax.Array:
+def trace_round_v2(state, coeffs, attrs, boxes, sboxes, scal,
+                   params: TraceParams, round_budget: int,
+                   interpret: bool = False) -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
     ``state``: [n_tiles, NCOLS, 1, 128] (see ``to_tiles``/``from_tiles``).
     ``boxes``: [n_clusters, 8] cluster AABBs or None (no culling).
+    ``sboxes``: [n_supers, 8] supercluster AABBs or None (single level).
     """
     n_tiles = state.shape[0]
     ncols = state.shape[1]
@@ -415,12 +540,16 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal, params: TraceParams,
     assert ncols == state_ncols(n_bands), (ncols, n_bands)
     t_total = attrs.shape[0]
     use_cull = boxes is not None
+    n_supers = 0 if sboxes is None else sboxes.shape[0]
     if boxes is None:
         boxes = jnp.zeros((1, 8), jnp.float32)
+    if sboxes is None:
+        sboxes = jnp.zeros((1, 8), jnp.float32)
     kernel = functools.partial(
         _trace_round_kernel_v2, n_groups=t_total // _GROUP,
         max_bounces=params.max_bounces, round_budget=round_budget,
-        n_clusters=boxes.shape[0], use_cull=use_cull, n_bands=n_bands)
+        n_clusters=boxes.shape[0], n_supers=n_supers, use_cull=use_cull,
+        n_bands=n_bands)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -431,14 +560,16 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal, params: TraceParams,
             pl.BlockSpec(attrs.shape, lambda i: (0, 0)),
             pl.BlockSpec(boxes.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(sboxes.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ncols, 1, _LANES), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, ncols, 1, _LANES),
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
         interpret=interpret,
-    )(scal, coeffs, attrs, boxes, state)
+    )(scal, coeffs, attrs, boxes, sboxes, state)
 
 
 def to_tiles(state: jax.Array) -> jax.Array:

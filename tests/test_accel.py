@@ -80,3 +80,28 @@ def test_cluster_culled_kernel_matches_unclulled():
     b = np.asarray(ar.trace_ir(sc_none, dirs, *args))
     assert a.sum() > 0
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+
+
+def test_supercluster_kernel_matches_unclulled():
+    """Two-level culling (>= 16 clusters engages superclusters) == no
+    culling, including the cluster/triangle padding added to reach a whole
+    number of superclusters."""
+    from audiorenderingv2_tpu.ops import raytrace_pallas_v2 as v2
+
+    v, t = testing.icosphere(radius=6.0, subdivisions=4)  # 5120 tris
+    scene = testing.scene_from_arrays(v, t, 0.2)
+    sorted_scene, clusters = accel.prepare_scene(scene)
+    params = ar.TraceParams(sample_rate=8000, ir_length=8000, base_power=3.62,
+                            max_bounces=4)
+    opts = ar.TracerOptions(backend="pallas", pallas_version=2,
+                            pallas_interpret=True)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(3), 128)
+    args = (jnp.zeros(3), jnp.array([2.0, 0.5, -1.0]), 0.0, params, opts)
+    sc_cull = ar.scene_to_arrays(sorted_scene, 2048, clusters=clusters)
+    packed = v2.pack_tris_v2(sc_cull, 1)
+    assert packed[3] is not None and packed[3].shape[0] == 5  # 40 clusters / 8
+    sc_none = ar.scene_to_arrays(sorted_scene, 2048)
+    a = np.asarray(ar.trace_ir(sc_cull, dirs, *args))
+    b = np.asarray(ar.trace_ir(sc_none, dirs, *args))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
