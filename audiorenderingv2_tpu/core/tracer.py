@@ -529,7 +529,7 @@ def render_ir(
     from core/sampling (jax.random, the stream the oracle tests share).
     """
     if (opts.backend == "pallas" and opts.pallas_native_rng
-            and opts.pallas_version == 2 and params.n_bands == 1
+            and opts.pallas_version == 2 and params.n_bands <= 4
             # the TPU PRNG primitives have no CPU/interpret lowering
             and not opts.pallas_interpret):
         from ..ops import raytrace_pallas as rp
@@ -539,7 +539,7 @@ def render_ir(
         # the round trip exactly (the kernel further offsets by tile id).
         seed = jax.random.randint(key, (), 0, 2**23)
         ev_bin_f, ev_w, ev_ear = rp.trace_events_pallas(
-            rp2.pack_tris_v2(sc), None,
+            rp2.pack_tris_v2(sc, params.n_bands), None,
             jnp.asarray(emitter, jnp.float32),
             jnp.asarray(receiver_pos, jnp.float32),
             jnp.asarray(receiver_yaw_deg, jnp.float32),

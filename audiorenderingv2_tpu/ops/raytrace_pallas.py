@@ -445,11 +445,10 @@ def trace_events_pallas(
         ncols = v2.state_ncols(n_bands)
         en_cols, evw_cols = v2._band_cols(n_bands)
         if directions is None:
-            if n_bands != 1:
-                raise ValueError("native RNG init supports one band")
             scal_seed = scal.at[0, _S_PAD14].set(
                 jnp.asarray(native_rng_seed, jnp.float32))
-            tiles = v2.init_state_tiles(scal_seed, n_pad, n, interpret)
+            tiles = v2.init_state_tiles(scal_seed, n_pad, n, interpret,
+                                        n_bands=n_bands)
         else:
             tiles = v2.to_tiles(init_state(
                 jnp.asarray(directions, jnp.float32),

@@ -201,7 +201,7 @@ def _build_superclusters(coeffs, attrs, boxes):
     return coeffs, attrs, boxes, sboxes
 
 
-def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int):
+def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int, n_bands: int):
     """Initialize the tiled ray state with on-chip generated directions.
 
     Uses the Pallas TPU PRNG (threefry-free, per-tile seeded) with the same
@@ -227,32 +227,35 @@ def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int):
     in_range = gidx < n_real
     zero = jnp.zeros((1, _LANES), jnp.float32)
 
-    for k, val in ((C._C_PX, zero + s(C._S_EMX)),
-                   (C._C_PY, zero + s(C._S_EMY)),
-                   (C._C_PZ, zero + s(C._S_EMZ)),
-                   (C._C_VX, sin_phi * jnp.cos(theta)),
-                   (C._C_VY, sin_phi * jnp.sin(theta)),
-                   (C._C_VZ, cos_phi),
-                   (C._C_EN, jnp.where(in_range, s(C._S_E0), 0.0)),
-                   (C._C_DONE, jnp.where(in_range, 0.0, 1.0))):
-        out_ref[0, k] = val
-    for k in (C._C_DIST, C._C_DEPTH, C._C_EVB, C._C_EVW, C._C_EVE,
-              C._C_PAD13, C._C_PAD14, C._C_PAD15):
-        out_ref[0, k] = zero
+    en_cols, _ = _band_cols(n_bands)
+    writes = {C._C_PX: zero + s(C._S_EMX),
+              C._C_PY: zero + s(C._S_EMY),
+              C._C_PZ: zero + s(C._S_EMZ),
+              C._C_VX: sin_phi * jnp.cos(theta),
+              C._C_VY: sin_phi * jnp.sin(theta),
+              C._C_VZ: cos_phi,
+              C._C_DONE: jnp.where(in_range, 0.0, 1.0)}
+    e0 = jnp.where(in_range, s(C._S_E0), 0.0)
+    for k in en_cols:
+        writes[k] = e0
+    for k in range(state_ncols(n_bands)):
+        out_ref[0, k] = writes.get(k, zero)
 
 
 def init_state_tiles(scal: jax.Array, n_pad: int, n_real: int,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False, n_bands: int = 1) -> jax.Array:
     """On-chip state init: [n_tiles, NCOLS, 1, 128] with generated dirs."""
     n_tiles = n_pad // _LANES
+    ncols = state_ncols(n_bands)
     return pl.pallas_call(
-        functools.partial(_init_state_kernel_v2, n_real=n_real),
+        functools.partial(_init_state_kernel_v2, n_real=n_real,
+                          n_bands=n_bands),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((1, v1._NSCAL), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((1, v1._NCOLS, 1, _LANES),
+        out_specs=pl.BlockSpec((1, ncols, 1, _LANES),
                                lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, v1._NCOLS, 1, _LANES),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, ncols, 1, _LANES),
                                        jnp.float32),
         interpret=interpret,
     )(scal)

@@ -49,3 +49,41 @@ def test_backends_agree_on_chip():
         assert abs(na - nb) / max(na, 1) < 0.05, f"{a} vs {b}: {na} vs {nb} bins"
         sa, sb = irs[a].sum(), irs[b].sum()
         assert abs(sa - sb) / max(sa, 1e-12) < 0.05, f"{a} vs {b}: {sa} vs {sb}"
+
+
+def test_native_rng_multiband_on_chip():
+    """On-chip direction generation (pallas_native_rng) with banded
+    absorption: a different deterministic RNG stream than jax.random, so the
+    comparison against the explicit-directions render is statistical — total
+    energy per band within MC noise, and more-absorbing bands weaker."""
+    import jax
+    import jax.numpy as jnp
+
+    import audiorenderingv2_tpu as ar
+    from audiorenderingv2_tpu import testing
+    from audiorenderingv2_tpu.core.tracer import render_ir
+    from audiorenderingv2_tpu.scene import build_scene
+
+    assert jax.devices()[0].platform == "tpu"
+    v, t = testing.box_room((12.0, 8.0, 10.0))
+    tri_abs = np.tile(np.float32([0.1, 0.35, 0.6]), (len(t), 1))  # 3 bands
+    scene = build_scene(testing.mesh_from_arrays(v, t), tri_abs)
+    sc = ar.scene_to_arrays(scene, 128)
+    params = ar.TraceParams(sample_rate=16000, ir_length=16000,
+                            base_power=3.62, max_bounces=30, n_bands=3)
+    args = (jnp.zeros(3), jnp.array([2.0, 0.0, 1.0]), jnp.float32(0.0))
+    n = 65536
+
+    sums = {}
+    for tag, native in [("native", True), ("sampled", False)]:
+        opts = ar.TracerOptions(backend="pallas", pallas_version=2,
+                                pallas_native_rng=native)
+        ir = np.asarray(jax.jit(
+            lambda k, o=opts: render_ir(sc, k, n, *args, params, o)
+        )(jax.random.PRNGKey(7)))
+        assert ir.shape == (2, 3, 16000)
+        sums[tag] = ir.sum(axis=(0, 2))
+    # band energies decrease with absorption, both streams
+    for tag in sums:
+        assert sums[tag][0] > sums[tag][1] > sums[tag][2] > 0, sums[tag]
+    np.testing.assert_allclose(sums["native"], sums["sampled"], rtol=0.05)
