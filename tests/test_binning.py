@@ -68,3 +68,43 @@ def test_weight_gradient_through_sort():
 
     g = jax.grad(loss)(jnp.array([1.0, 1.0, 1.0, 1.0]))
     np.testing.assert_allclose(np.asarray(g), [0.0, 2.0, 2.0, 1.0])
+
+
+def test_pallas_histogram_matches_numpy_scatter():
+    """Matmul-scatter kernel (interpret mode) == float64 numpy scatter,
+    including out-of-range drops and multiple bands. (Compared against the
+    exact oracle rather than the sort path: the sort path's cumsum-difference
+    trick carries ~1e-4 cancellation noise at this event count, while the
+    kernel's per-bin MXU accumulation is direct.)"""
+    from audiorenderingv2_tpu.ops import histogram_pallas
+
+    rng = np.random.default_rng(3)
+    e, n_bins, n_bands = 4096 + 77, 1000, 3
+    flat = rng.integers(-10, n_bins + 50, size=e).astype(np.int32)
+    w = rng.random(size=(e, n_bands)).astype(np.float32)
+    got = np.asarray(histogram_pallas.histogram_sum_banded_pallas(
+        jnp.asarray(flat), jnp.asarray(w), n_bins, True))
+    expect = np.zeros((n_bins, n_bands), np.float64)
+    for b, x in zip(flat, w):
+        if 0 <= b < n_bins:
+            expect[b] += x
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_histogram_weight_gradient():
+    """The custom VJP (gather of the cotangent) == the sort path's grad."""
+    from audiorenderingv2_tpu.ops import histogram_pallas
+
+    rng = np.random.default_rng(4)
+    e, n_bins = 600, 64
+    flat = jnp.asarray(rng.integers(-3, n_bins + 3, size=e).astype(np.int32))
+    w = jnp.asarray(rng.random(size=(e, 2)).astype(np.float32))
+    probe = jnp.asarray(rng.random(size=(n_bins, 2)).astype(np.float32))
+
+    g_pl = jax.grad(lambda x: jnp.sum(
+        probe * histogram_pallas.histogram_sum_banded_pallas(
+            flat, x, n_bins, True)))(w)
+    g_sort = jax.grad(lambda x: jnp.sum(
+        probe * binning.histogram_sum_banded(flat, x, n_bins)))(w)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_sort),
+                               rtol=1e-5, atol=1e-6)
