@@ -3,16 +3,33 @@
 Mirrors the reference's ``config.json`` with its three sections and per-key
 silent defaults (reference: prebuild/obj_raytracer/Context.cpp:15-165,
 config.json:1-61). Unknown keys are ignored; missing keys fall back to the
-same defaults the reference uses.
+same defaults the reference uses. Unlike the reference, unknown keys emit a
+``ConfigWarning`` (stderr) so typos — the class of bug in the shipped
+reference config, whose material names match nothing in its scenes
+(config.json:36-50 vs assets/models/3D_U.mtl:4-24) — are at least visible;
+the behavior itself stays reference-identical.
 """
 from __future__ import annotations
 
 import json
+import warnings
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
 from . import constants
+
+
+class ConfigWarning(UserWarning):
+    """Non-fatal config lint finding (unknown key / unmatched material)."""
+
+
+def _warn_unknown_keys(section: str, data: dict, known: set[str]) -> None:
+    for k in data:
+        if k not in known:
+            warnings.warn(
+                f"config: unknown key {section}.{k!r} ignored "
+                f"(known: {sorted(known)})", ConfigWarning, stacklevel=3)
 
 
 @dataclass
@@ -111,8 +128,14 @@ def _vec3(obj: Any, default: tuple[float, float, float]) -> tuple[float, float, 
 def parse_config(data: dict) -> Config:
     """Build a :class:`Config` from a parsed JSON dict with reference defaults."""
     cfg = Config()
+    _warn_unknown_keys("<root>", data, {
+        "renderer_parameters", "scene_parameters", "pathtracer_parameters"})
 
     rp = data.get("renderer_parameters") or {}
+    _warn_unknown_keys("renderer_parameters", rp, {
+        "initial_volume", "ir_length_in_seconds", "width", "height",
+        "write_first_ir_to_file", "write_first_output_to_file",
+        "re_render_distance_threshold", "re_render_angle_threshold"})
     r = cfg.renderer
     r.initial_volume = float(rp.get("initial_volume", r.initial_volume))
     r.ir_length_in_seconds = int(round(float(rp.get("ir_length_in_seconds", r.ir_length_in_seconds))))
@@ -125,6 +148,9 @@ def parse_config(data: dict) -> Config:
     r.re_render_angle_threshold = float(round(float(rp.get("re_render_angle_threshold", r.re_render_angle_threshold))))
 
     sp = data.get("scene_parameters") or {}
+    _warn_unknown_keys("scene_parameters", sp, {
+        "mono", "audio_file_path", "scene_file_path", "materials_file_path",
+        "initial_receiver_pos", "initial_emitter_pos"})
     s = cfg.scene
     s.mono = bool(sp.get("mono", s.mono))
     s.audio_file_path = str(sp.get("audio_file_path", s.audio_file_path))
@@ -134,6 +160,12 @@ def parse_config(data: dict) -> Config:
     s.initial_emitter_pos = _vec3(sp.get("initial_emitter_pos"), s.initial_emitter_pos)
 
     pp = data.get("pathtracer_parameters") or {}
+    _warn_unknown_keys("pathtracer_parameters", pp, {
+        "base_power", "rays", "ray_energy_threshold", "ray_max_bounces",
+        "hrtf_absorption_rate", "materials", "absorption_band_edges",
+        # Present in the shipped reference config but never read by the
+        # reference either (SURVEY §5): accepted silently for parity.
+        "ray_distance_threshold"})
     p = cfg.pathtracer
     p.base_power = float(pp.get("base_power", p.base_power))
     rays = pp.get("rays")

@@ -63,7 +63,7 @@ def build_context(config: Config, base_dir: str | Path = ".",
     audio = None
     sample_rate = DEFAULT_LIVE_SAMPLE_RATE
     if config.scene.audio_file_path:
-        audio = wav_io.read_wav(resolve(config.scene.audio_file_path))
+        audio = wav_io.read_audio(resolve(config.scene.audio_file_path))
         sample_rate = audio.sample_rate
 
     renderer = AudioRenderer(

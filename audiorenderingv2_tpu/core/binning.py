@@ -54,12 +54,14 @@ def histogram_sum(bins: jax.Array, weights: jax.Array, n_bins: int) -> jax.Array
     return csum[ends] - csum[starts]
 
 
-# Debug escape hatch: force the sort-based path even on TPU.
+# Set False to force the sort-based path even on TPU (debug escape hatch);
+# per-call control comes via the ``use_pallas`` argument below.
 USE_PALLAS_HISTOGRAM = True
 
 
 def histogram_sum_banded(bins: jax.Array, weights: jax.Array,
-                         n_bins: int) -> jax.Array:
+                         n_bins: int,
+                         use_pallas: bool | None = None) -> jax.Array:
     """Like :func:`histogram_sum` but weights carry a trailing band axis.
 
     bins: int [E]; weights: [E, n_bands]. One shared sort of the bin keys
@@ -70,10 +72,18 @@ def histogram_sum_banded(bins: jax.Array, weights: jax.Array,
     (ops/histogram_pallas.py) instead — the 1M-event sort is ~60 ms on a
     v5e, the kernel ~5 ms — whenever the accumulator fits VMEM. Both
     paths share this signature and gradient semantics.
+
+    ``use_pallas``: None = auto (default backend is TPU and the event set
+    is large); True/False force one path — thread False when explicitly
+    placing a computation on CPU under a TPU-default process, where the
+    default-backend check would mis-dispatch (TracerOptions.pallas_histogram
+    plumbs this from the tracer).
     """
     bins = bins.reshape(-1)
-    if (USE_PALLAS_HISTOGRAM and bins.size >= 65536
-            and jax.default_backend() == "tpu"):
+    if use_pallas is None:
+        use_pallas = (USE_PALLAS_HISTOGRAM and bins.size >= 65536
+                      and jax.default_backend() == "tpu")
+    if use_pallas:
         from ..ops import histogram_pallas
 
         if histogram_pallas.fits_vmem(n_bins, weights.shape[-1]):

@@ -87,6 +87,9 @@ class TracerOptions:
     pallas_version: int = 2      # 1 = rays-in-sublanes; 2 = rays-in-lanes+MXU
     pallas_native_rng: bool = False  # v2: generate directions on-chip
                                  # (faster; different stream than jax.random)
+    pallas_histogram: bool | None = None  # None = auto (TPU + >=64k events);
+                                 # set False when placing a TPU-default
+                                 # process's computation on CPU explicitly
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
@@ -388,7 +391,8 @@ def _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params: TraceParams,
 
 
 def _histogram_from_events(ev_bin_f, ev_w, ev_ear, params: TraceParams,
-                           soft: bool) -> jax.Array:
+                           soft: bool,
+                           use_pallas_hist: bool | None = None) -> jax.Array:
     """Events -> stereo (optionally banded) IR histogram.
 
     ev_bin_f [E], ev_w [E, n_bands], ev_ear [E]. Returns [2, ir_length] for
@@ -406,7 +410,8 @@ def _histogram_from_events(ev_bin_f, ev_w, ev_ear, params: TraceParams,
         b = jnp.round(ev_bin_f).astype(jnp.int32)
         flat = jnp.where(active & (b >= 0) & (b < nb),
                          ev_ear * nb + b, 2 * nb)
-        hist = binning.histogram_sum_banded(flat, ev_w, 2 * nb)
+        hist = binning.histogram_sum_banded(flat, ev_w, 2 * nb,
+                                            use_pallas=use_pallas_hist)
         hist = hist.reshape(2, nb, params.n_bands)
         scale = 1.0 - params.hrtf_absorption_rate
         delay = params.cross_ear_delay
@@ -418,7 +423,8 @@ def _histogram_from_events(ev_bin_f, ev_w, ev_ear, params: TraceParams,
         hist = hist + cross[::-1]  # each ear receives the OTHER ear's cross
     else:
         flat, ws = _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params, soft)
-        hist = binning.histogram_sum_banded(flat, ws, 2 * nb)
+        hist = binning.histogram_sum_banded(flat, ws, 2 * nb,
+                                            use_pallas=use_pallas_hist)
         hist = hist.reshape(2, nb, params.n_bands)
     if params.n_bands == 1:
         return hist[:, :, 0]
@@ -477,7 +483,8 @@ def trace_ir(
             n_total_rays=n_total, interpret=opts.pallas_interpret,
             compact=opts.pallas_compact, version=opts.pallas_version)
         return _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
-                                      opts.soft_binning)
+                                      opts.soft_binning,
+                                      use_pallas_hist=opts.pallas_histogram)
 
     block = min(opts.block_size, n)
     n_pad = ((n + block - 1) // block) * block
@@ -507,7 +514,8 @@ def trace_ir(
 
     return _histogram_from_events(
         ev_bin_f.reshape(-1), ev_w.reshape(-1, params.n_bands),
-        ev_ear.reshape(-1), params, opts.soft_binning)
+        ev_ear.reshape(-1), params, opts.soft_binning,
+        use_pallas_hist=opts.pallas_histogram)
 
 
 def render_ir(
@@ -547,7 +555,8 @@ def render_ir(
             interpret=opts.pallas_interpret, compact=opts.pallas_compact,
             version=2, native_rng_seed=seed, n_rays=n_rays)
         return _histogram_from_events(ev_bin_f, ev_w, ev_ear,
-                                      params, opts.soft_binning)
+                                      params, opts.soft_binning,
+                                      use_pallas_hist=opts.pallas_histogram)
     from . import sampling
 
     dirs = sampling.sample_directions(key, n_rays)

@@ -45,10 +45,12 @@ from ..core.tracer import (SceneArrays, TraceParams, TracerOptions,
                            _sphere_entry)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "opts"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "opts", "n_total_rays"))
 def record_paths(sc: SceneArrays, dirs: jax.Array, emitter: jax.Array,
                  rec_center: jax.Array, receiver_yaw_deg,
-                 params: TraceParams, opts: TracerOptions = TracerOptions()):
+                 params: TraceParams, opts: TracerOptions = TracerOptions(),
+                 n_total_rays: int | None = None):
     """Trace once, recording topology only.
 
     Returns (tri_ids int32 [N, K], recv_step int32 [N]) with
@@ -56,6 +58,10 @@ def record_paths(sc: SceneArrays, dirs: jax.Array, emitter: jax.Array,
     step k (-1 = the ray did not advance at step k), ``recv_step[i]`` the
     step at which ray i entered the receiver sphere (-1 = never). Not
     differentiable (int outputs); runs blocked like the XLA tracer.
+
+    ``n_total_rays``: global launch size when recording one shard of a larger
+    launch — sets the e0 energy normalization so the energy-threshold kill
+    matches trace_ir/replay_events on the full launch.
     """
     n = dirs.shape[0]
     block = min(opts.block_size, n)
@@ -70,7 +76,8 @@ def record_paths(sc: SceneArrays, dirs: jax.Array, emitter: jax.Array,
     absorb = sc.absorption
     if absorb.ndim == 1:
         absorb = absorb[:, None]
-    e0 = params.base_power / (n * constants.SPHERE_VOLUME)
+    e0 = params.base_power / ((n_total_rays if n_total_rays is not None
+                               else n) * constants.SPHERE_VOLUME)
 
     def block_fn(dirs_block):
         b = dirs_block.shape[0]
@@ -137,6 +144,13 @@ def replay_events(sc: SceneArrays, tri_ids: jax.Array, recv_step: jax.Array,
         absorb = absorb[:, None]
     n_bands = params.n_bands
     if absorb.shape[1] < n_bands:
+        if absorb.shape[1] != 1:
+            # Mirror the forward tracer: only broadband (1-band) absorption
+            # broadcasts across bands; a partial band table is an error, not
+            # a silent band-0 copy.
+            raise ValueError(
+                f"scene has {absorb.shape[1]} absorption bands but params "
+                f"ask for {n_bands}; only 1-band scenes broadcast")
         absorb = jnp.broadcast_to(absorb[:, :1], (absorb.shape[0], n_bands))
 
     pos0 = jnp.broadcast_to(emitter[None, :], (n, 3))

@@ -140,7 +140,24 @@ def resolve_absorption(
     declares per-band coefficients; scalar materials broadcast across bands.
     The final slot is the absorption for faces with no material (id -1),
     also ``default``.
+
+    Config material names that match NO scene material emit a
+    ``ConfigWarning``: the reference stays silent here, which is how its
+    shipped config (low/med/high/red/blue) runs every shipped scene
+    (Amarillo/Luz/Rojo) at the 0.5 default without anyone noticing. The
+    resolution behavior itself is unchanged.
     """
+    unmatched = [m.name for m in materials_cfg
+                 if m.name not in set(material_names)]
+    if unmatched and material_names:
+        import warnings
+
+        from ..config import ConfigWarning
+
+        warnings.warn(
+            f"config materials {unmatched} match no scene material "
+            f"(scene has {material_names}); they fall back to the "
+            f"{default} default", ConfigWarning, stacklevel=2)
     lens = [len(m.mat_absorption) for m in materials_cfg
             if isinstance(m.mat_absorption, (tuple, list))]
     n_bands = max(lens) if lens else 1

