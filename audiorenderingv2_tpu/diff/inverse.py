@@ -288,15 +288,26 @@ def coarse_emitter_search(
                             (recs.shape[0],))
     multi = jnp.asarray(receiver_pos).ndim > 1
 
-    @jax.jit
     def loss_at(emitter):
         irs = [trace_ir(sc, dirs, emitter, recs[i], yaws[i], params, opts)
                for i in range(recs.shape[0])]
         pred = jnp.stack(irs) if multi else irs[0]
         return ir_loss(pred, target_ir, loss_kind, smooth_radius)
 
+    # All candidates in one vmapped dispatch per chunk of 32 (one forward
+    # render per candidate, evaluated in parallel on-device instead of one
+    # host round-trip each; the tail chunk wraps so the compiled executable
+    # is reused).
+    loss_batch = jax.jit(jax.vmap(loss_at))
     candidates = np.asarray(candidates, np.float32).reshape(-1, 3)
-    losses = np.array([float(loss_at(jnp.asarray(c))) for c in candidates])
+    n_cand = len(candidates)
+    chunk = min(32, n_cand)
+    cands_j = jnp.asarray(candidates)
+    losses = []
+    for start in range(0, n_cand, chunk):
+        idx = jnp.arange(start, start + chunk) % n_cand
+        losses.append(np.asarray(loss_batch(cands_j[idx])))
+    losses = np.concatenate(losses)[:n_cand]
     return candidates[int(np.argmin(losses))], losses
 
 

@@ -117,6 +117,82 @@ def record_paths(sc: SceneArrays, dirs: jax.Array, emitter: jax.Array,
     return ids.reshape(n_pad, -1)[:n], recv.reshape(-1)[:n]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("params", "opts", "n_total_rays"))
+def record_paths_pallas(sc: SceneArrays, dirs: jax.Array, emitter: jax.Array,
+                        rec_center: jax.Array, receiver_yaw_deg,
+                        params: TraceParams,
+                        opts: TracerOptions = TracerOptions(),
+                        n_total_rays: int | None = None):
+    """:func:`record_paths` on the fused Pallas kernel — the fast path.
+
+    The v2 kernel carries three recording columns (raytrace_pallas state-
+    column docs): the original launch index (so topology survives the
+    between-round compaction permutations), the triangle id bounced in the
+    current 1-bounce round, and the sticky receiver depth. This driver runs
+    one kernel round per bounce (lax.scan — the kernel is compiled once),
+    harvests the (ray id, triangle id) pair after each round, and scatters
+    the per-round ids back into launch order.
+
+    Returns the same (tri_ids int32 [N, K], recv_step int32 [N]) as
+    :func:`record_paths`; the two agree exactly on CPU (bit-identical
+    arithmetic) and statistically on chip (chaotic-path divergence only,
+    see docs/ROUND1.md). Gradient work at the 1M-ray production scale
+    (devicePrograms.cu:192-254's launch grid) records here and replays with
+    :func:`replay_events`.
+    """
+    from ..ops import raytrace_pallas as rp
+    from ..ops import raytrace_pallas_v2 as rp2
+
+    n = dirs.shape[0]
+    k_steps = params.max_bounces
+    n_pad = ((n + 127) // 128) * 128
+    n_total = n_total_rays if n_total_rays is not None else n
+    e0 = params.base_power / (n_total * constants.SPHERE_VOLUME)
+    interpret = opts.pallas_interpret
+
+    coeffs, attrs, boxes = rp2.pack_tris_v2(sc, params.n_bands)
+    yaw_rad = jnp.deg2rad(jnp.asarray(receiver_yaw_deg, jnp.float32))
+    scal = rp._scalars(jnp.asarray(emitter, jnp.float32),
+                       jnp.asarray(rec_center, jnp.float32),
+                       yaw_rad, e0, params)
+    ncols = rp2.state_ncols(params.n_bands)
+    en_cols, _ = rp2._band_cols(params.n_bands)
+    state = rp.init_state(jnp.asarray(dirs, jnp.float32),
+                          jnp.asarray(emitter, jnp.float32), e0, n_pad,
+                          ncols=ncols, en_cols=tuple(en_cols))
+    state = state.at[:, rp._C_RAYID].set(
+        jnp.arange(n_pad, dtype=jnp.float32))
+    state = state.at[:, rp._C_RECVD].set(-1.0)
+    tiles = rp2.to_tiles(state)
+    coherent = boxes is not None
+
+    def round_step(tiles, _):
+        tiles = rp2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
+                                   params, 1, interpret)
+        st = rp2.from_tiles(tiles)
+        rid = st[:, rp._C_RAYID].astype(jnp.int32)
+        ltri = st[:, rp._C_LTRI].astype(jnp.int32)
+        st = (rp._sort_state_by_keys(st, rp._compaction_keys(st, True))
+              if coherent else rp._partition_alive_first(st))
+        return rp2.to_tiles(st), (rid, ltri)
+
+    tiles, (rids, ltris) = jax.lax.scan(round_step, tiles, None,
+                                        length=k_steps)
+    final = rp2.from_tiles(tiles)
+
+    # Scatter per-round (rid, tri+1) pairs into launch order: [N, K].
+    flat_idx = (rids * k_steps
+                + jnp.arange(k_steps, dtype=jnp.int32)[:, None])  # [K, n_pad]
+    tri_ids = jnp.zeros((n_pad * k_steps,), jnp.int32).at[
+        flat_idx.reshape(-1)].set(ltris.reshape(-1) - 1,
+                                  unique_indices=True).reshape(n_pad, k_steps)
+    rid_f = final[:, rp._C_RAYID].astype(jnp.int32)
+    recv = jnp.zeros((n_pad,), jnp.int32).at[rid_f].set(
+        final[:, rp._C_RECVD].astype(jnp.int32), unique_indices=True)
+    return tri_ids[:n], recv[:n]
+
+
 def replay_events(sc: SceneArrays, tri_ids: jax.Array, recv_step: jax.Array,
                   dirs: jax.Array, emitter: jax.Array, rec_center: jax.Array,
                   receiver_yaw_deg, params: TraceParams,

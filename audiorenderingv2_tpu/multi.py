@@ -16,8 +16,6 @@ arrivals), matching how the reference would behave run L separate times.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +37,7 @@ def render_ir_matrix(
     params: TraceParams,
     opts: TracerOptions = TracerOptions(),
     mesh=None,
+    pair_batch: int = 16,
 ) -> np.ndarray:
     """Render IRs for every (source, listener) pair.
 
@@ -46,6 +45,10 @@ def render_ir_matrix(
       emitters: [S, 3]; receivers: [L, 3]; receiver_yaws_deg: [L].
       n_rays: rays per pair render.
       mesh: optional device mesh — each pair's rays shard across it.
+      pair_batch: pairs rendered per dispatch (vmap over the pose axis —
+        ONE kernel evaluates the whole batch instead of one host round-trip
+        per pair). Bounds peak memory at pair_batch * n_rays ray states;
+        0 = all S*L pairs at once.
 
     Returns float32 [S, L, 2, ir_length].
     """
@@ -55,25 +58,47 @@ def render_ir_matrix(
     # error (a short yaw list would otherwise silently zero listener rows).
     yaws = np.broadcast_to(np.asarray(receiver_yaws_deg, np.float32),
                            (receivers.shape[0],))
+    s, l = len(emitters), len(receivers)
+    n_pairs = s * l
 
     if mesh is not None:
+        # Sharded renders split each pair's rays over the mesh; pairs stay
+        # sequential (each dispatch is already device-wide).
         def one(k, em, rc, yw):
             return render_ir_sharded(sc, k, n_rays, em, rc, yw, params, opts,
                                      mesh=mesh)
-    else:
-        @functools.partial(jax.jit)
+
+        out = np.zeros((s, l, 2, params.ir_length), np.float32)
+        for si, em in enumerate(emitters):
+            for li, (rc, yw) in enumerate(zip(receivers, yaws)):
+                k = jax.random.fold_in(key, si * l + li)
+                out[si, li] = np.asarray(one(k, jnp.asarray(em),
+                                             jnp.asarray(rc), jnp.float32(yw)))
+        return out
+
+    @jax.jit
+    def many(ks, ems, rcs, yws):
         def one(k, em, rc, yw):
             dirs = sampling.sample_directions(k, n_rays)
             return trace_ir(sc, dirs, em, rc, yw, params, opts)
 
-    out = np.zeros((len(emitters), len(receivers), 2, params.ir_length),
-                   np.float32)
-    for si, em in enumerate(emitters):
-        for li, (rc, yw) in enumerate(zip(receivers, yaws)):
-            k = jax.random.fold_in(key, si * len(receivers) + li)
-            out[si, li] = np.asarray(one(k, jnp.asarray(em), jnp.asarray(rc),
-                                         jnp.float32(yw)))
-    return out
+        return jax.vmap(one)(ks, ems, rcs, yws)
+
+    # Flat pair arrays; chunked vmap with the tail chunk padded to the
+    # batch size so every dispatch reuses the one compiled executable.
+    em_p = jnp.asarray(np.repeat(emitters, l, axis=0))
+    rc_p = jnp.asarray(np.tile(receivers, (s, 1)))
+    yw_p = jnp.asarray(np.tile(yaws, s))
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(n_pairs, dtype=jnp.uint32))
+    batch = n_pairs if pair_batch in (0, None) else min(pair_batch, n_pairs)
+    chunks = []
+    for start in range(0, n_pairs, batch):
+        idx = jnp.arange(start, start + batch) % n_pairs  # pad by wrapping
+        chunks.append(np.asarray(many(keys[idx], em_p[idx], rc_p[idx],
+                                      yw_p[idx])))
+    flat = np.concatenate(chunks)[:n_pairs]
+    return flat.reshape(s, l, 2, params.ir_length)
 
 
 def mix_sources(
@@ -94,11 +119,13 @@ def mix_sources(
         raise ValueError(f"{s} sources but {len(signals)} signals")
     max_len = max(sig.shape[0] for sig in signals)
     out = np.zeros((l, 2, max_len), np.float32)
+    # One dispatch per source: all L listener convolutions vmapped.
+    convolve_l = jax.jit(
+        jax.vmap(convolve.convolve_file_stereo, in_axes=(None, 0, None)),
+        static_argnums=2)
     for si, sig in enumerate(signals):
         padded = np.zeros(max_len, np.float32)
         padded[: sig.shape[0]] = sig
-        for li in range(l):
-            out[li] += np.asarray(convolve.convolve_file_stereo(
-                jnp.asarray(padded), jnp.asarray(ir_matrix[si, li]),
-                sample_rate))
+        out += np.asarray(convolve_l(jnp.asarray(padded),
+                                     jnp.asarray(ir_matrix[si]), sample_rate))
     return out

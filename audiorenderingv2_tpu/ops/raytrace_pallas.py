@@ -60,11 +60,16 @@ _NSCAL = 16
  _S_R2, _S_PAD13, _S_PAD14, _S_PAD15) = range(_NSCAL)
 
 # Ray-state columns ([N, 16] float32; banded v2 runs extend to 24 — see
-# raytrace_pallas_v2.state_ncols / _band_cols).
+# raytrace_pallas_v2.state_ncols / _band_cols). Columns 13-15 are only
+# written in topology-recording mode (diff/replay.record_paths_pallas):
+# RAYID = original launch index (f32-exact below 2^24, riding through the
+# compaction permutations), LTRI = 1 + id of the triangle bounced off in
+# the current 1-bounce round (0 = no bounce), RECVD = bounce depth at which
+# the receiver was entered (-1 = never), all as f32.
 _NCOLS = 16
 (_C_PX, _C_PY, _C_PZ, _C_VX, _C_VY, _C_VZ,
  _C_DIST, _C_EN, _C_DEPTH, _C_DONE,
- _C_EVB, _C_EVW, _C_EVE, _C_PAD13, _C_PAD14, _C_PAD15) = range(_NCOLS)
+ _C_EVB, _C_EVW, _C_EVE, _C_RAYID, _C_LTRI, _C_RECVD) = range(_NCOLS)
 
 # Cluster-AABB rows ([8, n_clusters] float32; see accel.ClusterData).
 _CLUS_ROWS = 8
@@ -264,7 +269,8 @@ def _trace_round_kernel(scal_ref, tris_ref, state_ref, out_ref,
     out_ref[:, _C_EVB:_C_EVB + 1] = ev_bin
     out_ref[:, _C_EVW:_C_EVW + 1] = ev_w
     out_ref[:, _C_EVE:_C_EVE + 1] = ev_ear
-    out_ref[:, _C_PAD13:] = jnp.zeros((rays_per_tile, _NCOLS - _C_PAD13),
+    # v1 does not implement topology recording; the spare columns stay zero.
+    out_ref[:, _C_RAYID:] = jnp.zeros((rays_per_tile, _NCOLS - _C_RAYID),
                                       jnp.float32)
 
 
@@ -392,7 +398,7 @@ def trace_events_pallas(
 
     Args:
       tris_packed: [17, T] from :func:`pack_tris` (v1), or the
-        (coeffs, attrs, boxes, sboxes) from
+        (coeffs, attrs, boxes) from
         ``raytrace_pallas_v2.pack_tris_v2`` (v2);
         T a multiple of 128.
       directions: [N, 3] unit directions (padded internally to whole tiles),
@@ -440,7 +446,7 @@ def trace_events_pallas(
     if version == 2:
         from . import raytrace_pallas_v2 as v2
 
-        coeffs, attrs, boxes, sboxes = tris_packed
+        coeffs, attrs, boxes = tris_packed
         n_bands = params.n_bands
         ncols = v2.state_ncols(n_bands)
         en_cols, evw_cols = v2._band_cols(n_bands)
@@ -471,18 +477,18 @@ def trace_events_pallas(
             # a wasted full-state sort (nothing reads the order afterwards).
             def body(tiles, _):
                 tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,
-                                          sboxes, scal, params, budgets[0],
+                                          scal, params, budgets[0],
                                           interpret)
                 return compact_tiles(tiles), None
 
             tiles, _ = jax.lax.scan(body, tiles, None,
                                     length=len(budgets) - 1)
-            tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, sboxes,
+            tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,
                                       scal, params, budgets[-1], interpret)
         else:
             for k, budget in enumerate(budgets):
                 tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,
-                                          sboxes, scal, params, budget,
+                                          scal, params, budget,
                                           interpret)
                 if compact and k + 1 < len(budgets):
                     tiles = compact_tiles(tiles)

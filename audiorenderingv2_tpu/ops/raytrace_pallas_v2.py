@@ -43,8 +43,6 @@ _LANES = 128
 _GROUP = 8          # triangles per sublane group
 _NQ = 6             # dot-product quantities: no, nd, ou, du, ov, dv
 _AROWS = _NQ * _GROUP  # rows of the per-group MXU coefficient matrix
-_SUPER_FAN = 8      # clusters per supercluster (2-level culling)
-_SUPER_MIN_CLUSTERS = 16  # enable the second level from 2048 triangles up
 _CROWS = _NQ * _GROUP  # coefficient rows per cluster (48) in the v3 layout
 
 # Transposed triangle attribute columns ([T, 8]): unit normal, then
@@ -64,7 +62,7 @@ def state_ncols(n_bands: int) -> int:
 
 def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
     """Build the packed-triangle operands for the v2 kernel; returns
-    (coeffs, attrs, boxes, sboxes).
+    (coeffs, attrs, boxes).
 
     Two layouts, chosen by whether the scene carries Morton clusters:
 
@@ -144,7 +142,7 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
             if keep < t // _GROUP:
                 coeffs = coeffs[:keep * _AROWS]
                 attrs = attrs[:keep * _GROUP]
-        return coeffs, attrs, None, None
+        return coeffs, attrs, None
 
     # cluster layout: triangles in lanes
     if t % 128:
@@ -166,39 +164,7 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
             coeffs = coeffs[:keep_c * _CROWS]
             attrs = attrs[:keep_c * _TN_COLS]
             boxes = boxes[:keep_c]
-    sboxes = None
-    if boxes.shape[0] >= _SUPER_MIN_CLUSTERS:
-        coeffs, attrs, boxes, sboxes = _build_superclusters(
-            coeffs, attrs, boxes)
-    return coeffs, attrs, boxes, sboxes
-
-
-def _build_superclusters(coeffs, attrs, boxes):
-    """Second culling level: union-AABBs over ``_SUPER_FAN`` consecutive
-    (Morton-ordered) clusters. Pads the cluster-layout triangle/box arrays
-    to a whole number of superclusters with never-hit entries so in-kernel
-    indexing ``s*fan + q`` stays in range."""
-    c = boxes.shape[0]
-    c_pad = -(-c // _SUPER_FAN) * _SUPER_FAN
-    if c_pad != c:
-        extra = c_pad - c
-        boxes = jnp.concatenate(
-            [boxes, jnp.zeros((extra, boxes.shape[1]), boxes.dtype)])
-        coeffs = jnp.concatenate(
-            [coeffs, jnp.zeros((extra * _CROWS, 128), coeffs.dtype)])
-        attrs = jnp.concatenate(
-            [attrs, jnp.zeros((extra * _TN_COLS, 128), attrs.dtype)])
-    grp = boxes.reshape(c_pad // _SUPER_FAN, _SUPER_FAN, -1)
-    valid = grp[:, :, 6] > 0
-    big = jnp.float32(3e38)
-    lo = jnp.min(jnp.where(valid[:, :, None], grp[:, :, 0:3], big), axis=1)
-    hi = jnp.max(jnp.where(valid[:, :, None], grp[:, :, 3:6], -big), axis=1)
-    any_valid = jnp.any(valid, axis=1).astype(jnp.float32)
-    sboxes = jnp.concatenate(
-        [jnp.where(any_valid[:, None] > 0, lo, 0.0),
-         jnp.where(any_valid[:, None] > 0, hi, 0.0),
-         any_valid[:, None], jnp.zeros_like(any_valid[:, None])], axis=1)
-    return coeffs, attrs, boxes, sboxes
+    return coeffs, attrs, boxes
 
 
 def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int, n_bands: int):
@@ -234,7 +200,9 @@ def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int, n_bands: int):
               C._C_VX: sin_phi * jnp.cos(theta),
               C._C_VY: sin_phi * jnp.sin(theta),
               C._C_VZ: cos_phi,
-              C._C_DONE: jnp.where(in_range, 0.0, 1.0)}
+              C._C_DONE: jnp.where(in_range, 0.0, 1.0),
+              C._C_RAYID: gidx.astype(jnp.float32),
+              C._C_RECVD: zero - 1.0}
     e0 = jnp.where(in_range, s(C._S_E0), 0.0)
     for k in en_cols:
         writes[k] = e0
@@ -271,10 +239,11 @@ def _band_cols(n_bands: int):
     return en, evw
 
 
-def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, sbox_ref,
-                           state_ref, out_ref, *, n_groups: int,
+def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
+                           state_ref, out_ref, scr_f_ref, scr_i_ref, *,
+                           n_groups: int,
                            max_bounces: int, round_budget: int,
-                           n_clusters: int, n_supers: int,
+                           n_clusters: int,
                            use_cull: bool, n_bands: int):
     s = lambda j: scal_ref[0, j]
     inf = jnp.float32(jnp.inf)
@@ -293,6 +262,9 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, sbox_ref,
         col(C._C_DIST), tuple(col(k) for k in en_cols),
         col(C._C_DEPTH), col(C._C_DONE),
         col(C._C_EVB), tuple(col(k) for k in evw_cols), col(C._C_EVE),
+        # topology-recording columns: last-bounce tri id (fresh each round)
+        # and sticky receiver depth (see raytrace_pallas column docs)
+        zero, col(C._C_RECVD),
     )
 
     def cond(carry):
@@ -302,7 +274,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, sbox_ref,
 
     def body(carry):
         (i, px, py, pz, vx, vy, vz, dist, energy, depth, done,
-         ev_bin, ev_w, ev_ear) = carry
+         ev_bin, ev_w, ev_ear, ltri, recvd) = carry
 
         e_max = energy[0]
         for e in energy[1:]:
@@ -315,7 +287,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, sbox_ref,
         pd8 = jnp.concatenate([px, py, pz, vx, vy, vz, ones, zero], axis=0)
 
         def group_step(g, best):
-            best_t, bnx, bny, bnz, bab = best
+            best_t, bnx, bny, bnz, bab, btri = best
             a = coeff_ref[pl.ds(g * _AROWS, _AROWS), :]          # [48, 8]
             # HIGHEST precision: multi-pass bf16 == f32 accuracy. Default
             # single-pass bf16 corrupts geometry (8-bit mantissa positions).
@@ -341,51 +313,78 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, sbox_ref,
             win = sub == win_sub
             pick = lambda k: jnp.sum(
                 jnp.where(win, at[:, k:k + 1], 0.0), axis=0, keepdims=True)
+            wid = (g * _GROUP + win_sub).astype(jnp.float32) + 1.0
             return (jnp.where(better, gt, best_t),
                     jnp.where(better, pick(_T_NX), bnx),
                     jnp.where(better, pick(_T_NY), bny),
                     jnp.where(better, pick(_T_NZ), bnz),
                     tuple(jnp.where(better, pick(_T_ABS + b), bab[b])
-                          for b in range(n_bands)))
+                          for b in range(n_bands)),
+                    jnp.where(better, wid, btri))
 
         best0 = (jnp.full((1, _LANES), inf), zero, zero, zero,
-                 (zero,) * n_bands)
+                 (zero,) * n_bands, zero)
         if use_cull:
-            # Cluster culling: slab-test the (alive) ray tile against each
-            # 128-triangle cluster's AABB and branch over the cluster's 16
-            # triangle groups only when some ray can reach it closer than
-            # its current best hit. Boxes live in SMEM; each test is ~25
-            # single-register VPU ops.
+            # Front-to-back cluster traversal — the TPU analog of ordered
+            # BVH descent (the reference's OptiX GAS, AudioRenderer.cpp:95-
+            # 218). Visibility culling alone leaves tens of reachable
+            # clusters per tile in an open room (the kernel is intersect-
+            # bound, not dispatch-bound), so ordering is what matters:
+            #
+            #   1. slab-test ALL clusters against the ray tile in one
+            #      vectorized [C, 128] pass (cluster boxes broadcast from
+            #      the sublane dim, rays from the lane dim),
+            #   2. reduce to per-cluster entry distances entry_c [C, 1]
+            #      (min over rays that can reach the box),
+            #   3. intersect clusters in increasing-entry order (selection
+            #      on demand: argmin of the unvisited entries, extracted
+            #      through (1,1) SMEM scalars), terminating as soon as the
+            #      nearest remaining entry is past EVERY alive ray's
+            #      current best hit — per-ray entry >= cluster min entry >=
+            #      max best_t >= that ray's best_t, so no deposit can
+            #      change.
+            #
+            # Coherent compaction (position cell + direction octant) keeps
+            # a tile's rays agreeing on that order, so typical visits per
+            # bounce are a handful of clusters instead of every visible
+            # one.
             eps_d = jnp.float32(1e-20)
             inv = lambda v: 1.0 / jnp.where(
                 jnp.abs(v) > eps_d, v, jnp.where(v >= 0, eps_d, -eps_d))
             ivx, ivy, ivz = inv(vx), inv(vy), inv(vz)
-            def slab_reach(bx, best_t):
-                t1 = (bx(0) - px) * ivx
-                t2 = (bx(3) - px) * ivx
-                tn = jnp.minimum(t1, t2)
-                tf = jnp.maximum(t1, t2)
-                t1 = (bx(1) - py) * ivy
-                t2 = (bx(4) - py) * ivy
-                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-                t1 = (bx(2) - pz) * ivz
-                t2 = (bx(5) - pz) * ivz
-                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-                # bx(6) is the box-valid flag: padding/empty boxes cannot
-                # be rejected by the slab math alone.
-                return (alive & (tf >= jnp.maximum(tn, 0.0))
-                        & (tn < best_t) & (bx(6) > 0.0))
+
+            bx = lambda j: box_ref[:, j:j + 1]                 # [C, 1]
+            t1 = (bx(0) - px) * ivx
+            t2 = (bx(3) - px) * ivx                            # [C, 128]
+            tn = jnp.minimum(t1, t2)
+            tf = jnp.maximum(t1, t2)
+            t1 = (bx(1) - py) * ivy
+            t2 = (bx(4) - py) * ivy
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            t1 = (bx(2) - pz) * ivz
+            t2 = (bx(5) - pz) * ivz
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            entry = jnp.maximum(tn, 0.0)
+            # bx(6) is the box-valid flag: padding/empty boxes cannot be
+            # rejected by the slab math alone.
+            okc = (tf >= entry) & (bx(6) > 0.0) & alive        # [C, 128]
+            entry_c = jnp.min(jnp.where(okc, entry, inf),
+                              axis=1, keepdims=True)           # [C, 1]
+            iota_c = jax.lax.broadcasted_iota(
+                jnp.int32, (n_clusters, 1), 0)
 
             def cluster_intersect(c, best):
                 # Whole-cluster intersection: triangles in lanes. Six
                 # lhs-transposed MXU dots give the [128 tri, 128 ray]
                 # quantity blocks; the winner's attributes come from ONE
                 # [8, 128] @ [128, 128] dot against the 0/1 winner mask.
-                best_t, bnx, bny, bnz, bab = best
-                a = coeff_ref[pl.ds(c * _CROWS, _CROWS), :]    # [48, 128]
-                at = attr_ref[pl.ds(c * _TN_COLS, _TN_COLS), :]  # [8, 128]
+                best_t, bnx, bny, bnz, bab, btri = best
+                a = coeff_ref[pl.ds(pl.multiple_of(c * _CROWS, 8),
+                                    _CROWS), :]                # [48, 128]
+                at = attr_ref[pl.ds(pl.multiple_of(c * _TN_COLS, 8),
+                                    _TN_COLS), :]              # [8, 128]
                 dot_t = lambda lhs, rhs: jax.lax.dot_general(
                     lhs, rhs, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -413,51 +412,59 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, sbox_ref,
                     at, winf, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)       # [8, 128]
+                wid = (c * 128 + win_sub).astype(jnp.float32) + 1.0
                 return (jnp.where(better, gt, best_t),
                         jnp.where(better, picked[0:1], bnx),
                         jnp.where(better, picked[1:2], bny),
                         jnp.where(better, picked[2:3], bnz),
                         tuple(jnp.where(better, picked[3 + b:4 + b], bab[b])
-                              for b in range(n_bands)))
+                              for b in range(n_bands)),
+                        jnp.where(better, wid, btri))
 
-            def cluster_step(c, best):
-                reach = slab_reach(lambda j: box_ref[c, j], best[0])
-                return jax.lax.cond(jnp.any(reach),
-                                    functools.partial(cluster_intersect, c),
-                                    lambda b: b, best)
+            def next_cluster(visited):
+                """Nearest unvisited reachable cluster: (entry, id) scalars
+                extracted through the (1,1) SMEM scratch. entry == inf when
+                nothing reachable remains."""
+                rem = jnp.where(visited > 0.0, inf, entry_c)
+                scr_f_ref[0, 0] = jnp.min(rem)
+                tn_k = scr_f_ref[0, 0]
+                sel = rem <= tn_k
+                scr_i_ref[0, 0] = jnp.min(
+                    jnp.where(sel, iota_c, n_clusters))
+                return tn_k, scr_i_ref[0, 0]
 
-            if n_supers > 0:
-                # Two-level: one supercluster slab test prices in
-                # _SUPER_FAN cluster tests + conds; large Morton-coherent
-                # scenes reject most of the tree at this level.
-                def super_step(s, best):
-                    reach = slab_reach(lambda j: sbox_ref[s, j], best[0])
-                    return jax.lax.cond(
-                        jnp.any(reach),
-                        lambda b: jax.lax.fori_loop(
-                            s * _SUPER_FAN, (s + 1) * _SUPER_FAN,
-                            cluster_step, b),
-                        lambda b: b, best)
+            def worth(tn_k, best_t):
+                # Some alive ray could still improve: its best hit is
+                # farther than the nearest remaining cluster entry.
+                scr_f_ref[0, 0] = jnp.max(jnp.where(alive, best_t, 0.0))
+                return tn_k < scr_f_ref[0, 0]
 
-                best_t, bnx, bny, bnz, bab = jax.lax.fori_loop(
-                    0, n_supers, super_step, best0)
-            elif n_clusters <= 8:
-                best = best0
-                for c in range(n_clusters):
-                    best = cluster_step(c, best)
-                best_t, bnx, bny, bnz, bab = best
-            else:
-                best_t, bnx, bny, bnz, bab = jax.lax.fori_loop(
-                    0, n_clusters, cluster_step, best0)
+            visited0 = jnp.zeros((n_clusters, 1), jnp.float32)
+            tn_0, c_0 = next_cluster(visited0)
+            trav0 = (jnp.int32(0), tn_0, c_0, visited0, best0,
+                     worth(tn_0, best0[0]))
+
+            def trav_body(carry):
+                k, tn_k, c_id, visited, best, _ = carry
+                best = cluster_intersect(c_id, best)
+                visited = jnp.maximum(
+                    visited, (iota_c == c_id).astype(jnp.float32))
+                tn_k, c_id = next_cluster(visited)
+                return (k + 1, tn_k, c_id, visited, best,
+                        (k + 1 < n_clusters) & worth(tn_k, best[0]))
+
+            (_, _, _, _, best, _) = jax.lax.while_loop(
+                lambda c: c[5], trav_body, trav0)
+            best_t, bnx, bny, bnz, bab, btri = best
         elif n_groups <= 32:
             # Static unroll lets Mosaic pipeline the small MXU dots across
             # groups; a fori_loop serializes them behind the carry.
             best = best0
             for g in range(n_groups):
                 best = group_step(g, best)
-            best_t, bnx, bny, bnz, bab = best
+            best_t, bnx, bny, bnz, bab, btri = best
         else:
-            best_t, bnx, bny, bnz, bab = jax.lax.fori_loop(
+            best_t, bnx, bny, bnz, bab, btri = jax.lax.fori_loop(
                 0, n_groups, group_step, best0)
 
         # ---- receiver sphere ----
@@ -506,21 +513,29 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, sbox_ref,
         energy = tuple(
             jnp.where(surface, energy[b] * (1.0 - bab[b]), energy[b])
             for b in range(n_bands))
+        # Topology recording: triangle id (+1) bounced this round and the
+        # bounce depth at which the receiver was entered (sticky). depth is
+        # read pre-increment — receiver rays are not surface rays, so their
+        # depth equals the number of completed bounces = the replay step.
+        ltri = jnp.where(surface, btri, ltri)
+        recvd = jnp.where(receiver, depth, recvd)
         depth = jnp.where(surface, depth + 1.0, depth)
         newly_done = receiver | miss | jnp.logical_not(can_continue)
         done = jnp.maximum(done, newly_done.astype(jnp.float32))
 
         return (i + 1, px, py, pz, vx, vy, vz, dist, energy, depth, done,
-                ev_bin, ev_w, ev_ear)
+                ev_bin, ev_w, ev_ear, ltri, recvd)
 
     (_, px, py, pz, vx, vy, vz, dist, energy, depth, done,
-     ev_bin, ev_w, ev_ear) = jax.lax.while_loop(cond, body, init)
+     ev_bin, ev_w, ev_ear, ltri, recvd) = jax.lax.while_loop(cond, body, init)
 
     ncols = state_ncols(n_bands)
     writes = {C._C_PX: px, C._C_PY: py, C._C_PZ: pz,
               C._C_VX: vx, C._C_VY: vy, C._C_VZ: vz,
               C._C_DIST: dist, C._C_DEPTH: depth, C._C_DONE: done,
-              C._C_EVB: ev_bin, C._C_EVE: ev_ear}
+              C._C_EVB: ev_bin, C._C_EVE: ev_ear,
+              C._C_RAYID: col(C._C_RAYID), C._C_LTRI: ltri,
+              C._C_RECVD: recvd}
     for b, (ek, wk) in enumerate(zip(en_cols, evw_cols)):
         writes[ek] = energy[b]
         writes[wk] = ev_w[b]
@@ -528,14 +543,15 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref, sbox_ref,
         out_ref[0, k] = writes.get(k, zero)
 
 
-def trace_round_v2(state, coeffs, attrs, boxes, sboxes, scal,
+def trace_round_v2(state, coeffs, attrs, boxes, scal,
                    params: TraceParams, round_budget: int,
                    interpret: bool = False) -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
     ``state``: [n_tiles, NCOLS, 1, 128] (see ``to_tiles``/``from_tiles``).
-    ``boxes``: [n_clusters, 8] cluster AABBs or None (no culling).
-    ``sboxes``: [n_supers, 8] supercluster AABBs or None (single level).
+    ``boxes``: [n_clusters, 8] cluster AABBs or None (no culling). With
+    boxes set, the kernel runs the front-to-back traversal (boxes live in
+    VMEM for the vectorized [C, 128] slab pass).
     """
     n_tiles = state.shape[0]
     ncols = state.shape[1]
@@ -543,15 +559,12 @@ def trace_round_v2(state, coeffs, attrs, boxes, sboxes, scal,
     assert ncols == state_ncols(n_bands), (ncols, n_bands)
     t_total = attrs.shape[0]
     use_cull = boxes is not None
-    n_supers = 0 if sboxes is None else sboxes.shape[0]
     if boxes is None:
         boxes = jnp.zeros((1, 8), jnp.float32)
-    if sboxes is None:
-        sboxes = jnp.zeros((1, 8), jnp.float32)
     kernel = functools.partial(
         _trace_round_kernel_v2, n_groups=t_total // _GROUP,
         max_bounces=params.max_bounces, round_budget=round_budget,
-        n_clusters=boxes.shape[0], n_supers=n_supers, use_cull=use_cull,
+        n_clusters=boxes.shape[0], use_cull=use_cull,
         n_bands=n_bands)
     return pl.pallas_call(
         kernel,
@@ -561,18 +574,17 @@ def trace_round_v2(state, coeffs, attrs, boxes, sboxes, scal,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(coeffs.shape, lambda i: (0, 0)),
             pl.BlockSpec(attrs.shape, lambda i: (0, 0)),
-            pl.BlockSpec(boxes.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(sboxes.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(boxes.shape, lambda i: (0, 0)),
             pl.BlockSpec((1, ncols, 1, _LANES), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, ncols, 1, _LANES),
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        input_output_aliases={5: 0},
+        input_output_aliases={4: 0},
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.int32)],
         interpret=interpret,
-    )(scal, coeffs, attrs, boxes, sboxes, state)
+    )(scal, coeffs, attrs, boxes, state)
 
 
 def to_tiles(state: jax.Array) -> jax.Array:

@@ -79,9 +79,10 @@ def main():
         r["efficiency"] = r["rays_per_s"] / (base * r["devices"])
         print(f"{r['devices']} device(s): weak-scaling efficiency "
               f"{r['efficiency']*100:.1f}%")
-    out = Path(__file__).parent / "scaling_results.json"
+    out = Path(__file__).parent / f"scaling_results_{devices[0].platform}.json"
     out.write_text(json.dumps({
         "platform": devices[0].platform,
+        "device_kind": devices[0].device_kind,
         "results": results,
     }, indent=2))
     print(f"wrote {out}")

@@ -82,10 +82,9 @@ def test_cluster_culled_kernel_matches_unclulled():
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
 
 
-def test_supercluster_kernel_matches_unclulled():
-    """Two-level culling (>= 16 clusters engages superclusters) == no
-    culling, including the cluster/triangle padding added to reach a whole
-    number of superclusters."""
+def test_many_cluster_traversal_matches_unclulled():
+    """Front-to-back traversal over many clusters (40 here) == no culling,
+    including early termination and the never-reachable padding clusters."""
     from audiorenderingv2_tpu.ops import raytrace_pallas_v2 as v2
 
     v, t = testing.icosphere(radius=6.0, subdivisions=4)  # 5120 tris
@@ -99,7 +98,7 @@ def test_supercluster_kernel_matches_unclulled():
     args = (jnp.zeros(3), jnp.array([2.0, 0.5, -1.0]), 0.0, params, opts)
     sc_cull = ar.scene_to_arrays(sorted_scene, 2048, clusters=clusters)
     packed = v2.pack_tris_v2(sc_cull, 1)
-    assert packed[3] is not None and packed[3].shape[0] == 5  # 40 clusters / 8
+    assert packed[2] is not None and packed[2].shape[0] == 40
     sc_none = ar.scene_to_arrays(sorted_scene, 2048)
     a = np.asarray(ar.trace_ir(sc_cull, dirs, *args))
     b = np.asarray(ar.trace_ir(sc_none, dirs, *args))

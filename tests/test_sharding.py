@@ -98,3 +98,48 @@ def test_gradients_through_sharded_trace():
     g8 = np.asarray(jax.grad(loss_sharded)(logits))
     assert np.abs(g1).sum() > 0
     np.testing.assert_allclose(g8, g1, rtol=1e-3, atol=1e-10)
+
+
+def test_sharded_pallas_backend_interpret():
+    """The production configuration — fused Pallas kernel under shard_map —
+    executed on the 8-device mesh (interpret mode runs the exact kernel
+    logic on CPU). Parity against the sharded XLA backend."""
+    scene = make_box()
+    sc = ar.scene_to_arrays(scene, 128)
+    p = params()
+    dirs = sampling.sample_directions(jax.random.PRNGKey(7), 1024)
+    rec = jnp.array([2.0, 0.0, 1.0])
+    xla = trace_directions_sharded(
+        sc, dirs, jnp.zeros(3), rec, 20.0, p,
+        ar.TracerOptions(block_size=128, tri_chunk=128))
+    pal = trace_directions_sharded(
+        sc, dirs, jnp.zeros(3), rec, 20.0, p,
+        ar.TracerOptions(backend="pallas", pallas_version=2,
+                         pallas_interpret=True))
+    # compaction reorders deposits -> different f32 summation order
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(xla),
+                               rtol=1e-4, atol=5e-8)
+
+
+def test_sharded_pallas_clustered_interpret():
+    """Cluster-culled (front-to-back traversal) kernel under shard_map."""
+    from audiorenderingv2_tpu import accel
+
+    v, t = testing.icosphere(radius=5.0, subdivisions=3)  # 1280 tris
+    scene = testing.scene_from_arrays(v, t, 0.25)
+    sorted_scene, clusters = accel.prepare_scene(scene)
+    assert clusters is not None
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    p = ar.TraceParams(sample_rate=8000, ir_length=8000, base_power=3.62,
+                       max_bounces=4)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(2), 512)
+    rec = jnp.array([1.5, 0.5, -0.5])
+    xla = trace_directions_sharded(
+        sc, dirs, jnp.zeros(3), rec, 0.0, p,
+        ar.TracerOptions(block_size=128, tri_chunk=128))
+    pal = trace_directions_sharded(
+        sc, dirs, jnp.zeros(3), rec, 0.0, p,
+        ar.TracerOptions(backend="pallas", pallas_version=2,
+                         pallas_interpret=True))
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(xla),
+                               rtol=1e-4, atol=1e-9)
