@@ -462,9 +462,9 @@ def trace_ir(
     n_total = n_total_rays if n_total_rays is not None else n
 
     pallas_ok = (params.n_bands == 1
-                 or (opts.pallas_version == 2 and params.n_bands <= 4))
+                 or (opts.pallas_version == 2 and params.n_bands <= 8))
     if opts.backend == "pallas" and pallas_ok:
-        # Fused on-chip trace kernel (forward-only; v2 supports up to 4
+        # Fused on-chip trace kernel (forward-only; v2 supports up to 8
         # absorption bands; gradient work uses the XLA path).
         from ..ops import raytrace_pallas as rp
 
@@ -537,7 +537,7 @@ def render_ir(
     from core/sampling (jax.random, the stream the oracle tests share).
     """
     if (opts.backend == "pallas" and opts.pallas_native_rng
-            and opts.pallas_version == 2 and params.n_bands <= 4
+            and opts.pallas_version == 2 and params.n_bands <= 8
             # the TPU PRNG primitives have no CPU/interpret lowering
             and not opts.pallas_interpret):
         from ..ops import raytrace_pallas as rp

@@ -45,19 +45,32 @@ _NQ = 6             # dot-product quantities: no, nd, ou, du, ov, dv
 _AROWS = _NQ * _GROUP  # rows of the per-group MXU coefficient matrix
 _CROWS = _NQ * _GROUP  # coefficient rows per cluster (48) in the v3 layout
 
-# Transposed triangle attribute columns ([T, 8]): unit normal, then
+# Transposed triangle attribute columns ([T, tn_cols]): unit normal, then
 # n_bands absorption columns, then the valid flag (_T_ABS + n_bands).
-_TN_COLS = 8
-(_T_NX, _T_NY, _T_NZ, _T_ABS, _T_VAL, _T_PAD5, _T_PAD6, _T_PAD7) = range(_TN_COLS)
-_MAX_BANDS = 4  # 3 normal cols + 4 absorption cols + valid = 8
+(_T_NX, _T_NY, _T_NZ, _T_ABS) = range(4)
+_MAX_BANDS = 8
+
+
+def tn_cols(n_bands: int) -> int:
+    """Attribute columns: 3 normal + n_bands absorption + valid, rounded to
+    a sublane multiple (8): standard octave-band tables (6-8 bands) take the
+    16-column layout; anything up to 4 bands fits the compact 8."""
+    return 8 if n_bands <= 4 else 16
+
+
+def _layout_bands(n_bands: int) -> int:
+    """Band capacity of the chosen state-column layout (1, 4 or 8)."""
+    return 1 if n_bands == 1 else (4 if n_bands <= 4 else 8)
 
 
 def state_ncols(n_bands: int) -> int:
     """Ray-state columns: v1's 16-column layout for one band; banded runs
-    add (n_bands - 1) extra energy and event-weight columns, rounded to 24.
-    Extra-band columns: energy b at 16 + (b-1), event weight b at 19 + (b-1).
-    """
-    return 16 if n_bands == 1 else 24
+    add (layout_bands - 1) extra energy and event-weight columns, rounded
+    to a multiple of 8 (24 for the 4-band layout, 32 for the 8-band one).
+    Extra-band columns: energy b at 16 + (b-1), event weight b at
+    16 + (layout_bands-1) + (b-1)."""
+    lb = _layout_bands(n_bands)
+    return 16 + (-(-(2 * (lb - 1)) // 8)) * 8
 
 
 def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
@@ -128,15 +141,16 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
         import numpy as np
         n_valid = int(np.sum(np.asarray(sc.valid) > 0))
 
+    tn = tn_cols(n_bands)
     if boxes is None:
-        # group layout: [G*48, 8] coefficient rows, [T, 8] attributes
+        # group layout: [G*48, 8] coefficient rows, [T, tn] attributes
         coeffs = q.reshape(t // _GROUP, _GROUP, _NQ, 8).transpose(0, 2, 1, 3)
         coeffs = coeffs.reshape(t // _GROUP * _AROWS, 8).astype(jnp.float32)
-        pad_cols = [zeros] * (_TN_COLS - 4 - n_bands)
+        pad_cols = [zeros] * (tn - 4 - n_bands)
         attrs = jnp.stack([
             sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
             *ab_cols, sc.valid, *pad_cols,
-        ], axis=1).astype(jnp.float32)  # [T, 8]; valid at col 3 + n_bands
+        ], axis=1).astype(jnp.float32)  # [T, tn]; valid at col 3 + n_bands
         if n_valid is not None:
             keep = max(1, -(-n_valid // _GROUP))
             if keep < t // _GROUP:
@@ -151,18 +165,18 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
     q = q * (sc.valid > 0).astype(jnp.float32)[:, None, None]
     coeffs = q.reshape(n_clus, 128, _NQ, 8).transpose(0, 2, 3, 1) \
         .reshape(n_clus * _CROWS, 128).astype(jnp.float32)
-    pad_rows = [zeros] * (_TN_COLS - 3 - n_bands)
+    pad_rows = [zeros] * (tn - 3 - n_bands)
     attrs = jnp.stack([
         sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
         *ab_cols, *pad_rows,
-    ], axis=1).astype(jnp.float32)  # [T, 8] -> per-cluster [8 rows, 128]
-    attrs = attrs.reshape(n_clus, 128, _TN_COLS).transpose(0, 2, 1) \
-        .reshape(n_clus * _TN_COLS, 128)
+    ], axis=1).astype(jnp.float32)  # [T, tn] -> per-cluster [tn rows, 128]
+    attrs = attrs.reshape(n_clus, 128, tn).transpose(0, 2, 1) \
+        .reshape(n_clus * tn, 128)
     if n_valid is not None:
         keep_c = max(1, -(-n_valid // 128))
         if keep_c < boxes.shape[0]:
             coeffs = coeffs[:keep_c * _CROWS]
-            attrs = attrs[:keep_c * _TN_COLS]
+            attrs = attrs[:keep_c * tn]
             boxes = boxes[:keep_c]
     return coeffs, attrs, boxes
 
@@ -234,8 +248,9 @@ def _band_cols(n_bands: int):
 
     Band 0 uses v1's _C_EN/_C_EVW slots; extra bands use columns 16+ (see
     :func:`state_ncols`)."""
+    lb = _layout_bands(n_bands)
     en = [v1._C_EN] + [16 + b - 1 for b in range(1, n_bands)]
-    evw = [v1._C_EVW] + [16 + (_MAX_BANDS - 1) + b - 1 for b in range(1, n_bands)]
+    evw = [v1._C_EVW] + [16 + (lb - 1) + b - 1 for b in range(1, n_bands)]
     return en, evw
 
 
@@ -253,6 +268,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
     ones = jnp.ones((1, _LANES), jnp.float32)
     C = v1  # column indices shared with v1
     en_cols, evw_cols = _band_cols(n_bands)
+    n_attr_rows = tn_cols(n_bands)
     t_val = _T_ABS + n_bands  # valid flag sits after the absorption columns
 
     init = (
@@ -383,8 +399,8 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                 best_t, bnx, bny, bnz, bab, btri = best
                 a = coeff_ref[pl.ds(pl.multiple_of(c * _CROWS, 8),
                                     _CROWS), :]                # [48, 128]
-                at = attr_ref[pl.ds(pl.multiple_of(c * _TN_COLS, 8),
-                                    _TN_COLS), :]              # [8, 128]
+                at = attr_ref[pl.ds(pl.multiple_of(c * n_attr_rows, 8),
+                                    n_attr_rows), :]  # [n_attr_rows, 128]
                 dot_t = lambda lhs, rhs: jax.lax.dot_general(
                     lhs, rhs, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,

@@ -236,9 +236,13 @@ class AsyncRenderWorker:
     queues the newest pose (coalescing older requests, like the reference's
     single worker), a daemon thread renders+convolves, and readers take the
     most recent completed output via ``latest`` under the renderer lock.
+
+    ``samples=None`` is the live-mic mode: the worker only re-renders the IR
+    (the audio callback convolves each block itself, main.cpp:99-135), so
+    ``latest`` stays None and consumers read the renderer's current IR.
     """
 
-    def __init__(self, renderer, samples: np.ndarray):
+    def __init__(self, renderer, samples: np.ndarray | None):
         self.renderer = renderer
         self.samples = samples
         self._pending: tuple | None = None
@@ -300,9 +304,17 @@ class AsyncRenderWorker:
                 self._pending = None
                 self._is_rendering = True
             try:
-                out = self.renderer.full_render_cycle(pos, yaw, self.samples)
+                if self.samples is None:  # live mode: render only
+                    with self.renderer.lock:
+                        self.renderer.set_receiver(pos, yaw)
+                        self.renderer.render()
+                    out = None
+                else:
+                    out = self.renderer.full_render_cycle(pos, yaw,
+                                                          self.samples)
                 with self._cv:
-                    self._latest = out
+                    if out is not None:
+                        self._latest = out
                     self._renders += 1
             finally:
                 with self._cv:
@@ -312,11 +324,19 @@ class AsyncRenderWorker:
 
 class LiveConvolver:
     """Block-wise live convolution with ring-buffer overlap accumulation
-    (audioHandlerWithMic, main.cpp:99-135)."""
+    (audioHandlerWithMic, main.cpp:99-135).
 
-    def __init__(self, renderer, volume: float = 1.0):
+    ``render_guard``: anything with an ``is_rendering`` attribute (e.g. an
+    :class:`AsyncRenderWorker`). While a render is in flight the block is
+    answered with silence and the input is NOT convolved — the reference's
+    audio callback does exactly this so the half-written IR is never heard
+    (main.cpp:111, 128-132; Context is_rendering)."""
+
+    def __init__(self, renderer, volume: float = 1.0, render_guard=None):
         self.renderer = renderer
         self.volume = float(volume)
+        self.render_guard = render_guard
+        self.silenced_blocks = 0
         n = renderer.params.ir_length
         self.ring = RingBuffer(2 * n + 1, dtype=np.float64)
 
@@ -326,6 +346,9 @@ class LiveConvolver:
         NaN outputs are zeroed like the reference's guard (main.cpp:118-124).
         """
         n_frames = in_block.shape[0]
+        if self.render_guard is not None and self.render_guard.is_rendering:
+            self.silenced_blocks += 1
+            return np.zeros(2 * n_frames, np.float64)
         self.renderer.convolve_live_input(in_block, self.ring)
         out = self.ring.get_and_reset(2 * n_frames) * self.volume
         return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
