@@ -18,6 +18,7 @@ Matches BASELINE config #4: "differentiable inverse: fit material absorption
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Callable
 
@@ -217,11 +218,22 @@ def fit_scene_parameters(
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(theta0)
 
-    @jax.jit
-    def step_fn(theta, opt_state, paths):
-        loss, grads = jax.value_and_grad(loss_fn)(theta, paths)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        return optax.apply_updates(theta, updates), opt_state, loss
+    # Steps run in jitted lax.scan chunks with donated parameter/optimizer
+    # buffers: the host only syncs at chunk boundaries (topology refresh,
+    # checkpoint, per-step callback), so a thousand-step fit is one or a few
+    # device dispatches instead of a float() round-trip per step.
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("k",))
+    def run_chunk(theta, opt_state, paths, k):
+        def body(carry, _):
+            theta, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(theta, paths)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            return (optax.apply_updates(theta, updates), opt_state), loss
+
+        (theta, opt_state), chunk_losses = jax.lax.scan(
+            body, (theta, opt_state), None, length=k)
+        return theta, opt_state, chunk_losses
 
     theta = theta0
     losses = []
@@ -233,19 +245,33 @@ def fit_scene_parameters(
         if restored is not None:
             start_step, theta, opt_state, losses = restored
 
+    refresh = max(replay_refresh, 1)
     paths = None
-    for i in range(start_step, steps):
-        if use_replay and (paths is None or i % max(replay_refresh, 1) == 0):
+    i = start_step
+    while i < steps:
+        if use_replay and (paths is None or i % refresh == 0):
             # topology moves with the emitter (and, via the energy cutoff,
             # with absorption) — re-record at the current parameters
             paths = record(theta)
-        theta, opt_state, loss = step_fn(theta, opt_state, paths)
-        losses.append(float(loss))
+        # next host-sync boundary: end of fit, topology refresh, checkpoint,
+        # or every step when a per-step callback wants the loss
+        nxt = steps
+        if use_replay:
+            nxt = min(nxt, (i // refresh + 1) * refresh)
+        if checkpoint_path is not None:
+            nxt = min(nxt, (i // checkpoint_every + 1) * checkpoint_every)
         if callback is not None:
-            callback(i, float(loss), theta)
+            nxt = min(nxt, i + 1)
+        k = nxt - i
+        theta, opt_state, chunk_losses = run_chunk(theta, opt_state, paths, k)
+        chunk_losses = np.asarray(chunk_losses)
+        losses.extend(float(l) for l in chunk_losses)
+        if callback is not None:
+            callback(i, float(chunk_losses[-1]), theta)
+        i = nxt
         if (checkpoint_path is not None
-                and ((i + 1) % checkpoint_every == 0 or i + 1 == steps)):
-            save_fit_state(checkpoint_path, i + 1, theta, opt_state, losses)
+                and (i % checkpoint_every == 0 or i == steps)):
+            save_fit_state(checkpoint_path, i, theta, opt_state, losses)
 
     out: dict = {}
     if fit_absorption:
