@@ -90,6 +90,13 @@ class TracerOptions:
     pallas_histogram: bool | None = None  # None = auto (TPU + >=64k events);
                                  # set False when placing a TPU-default
                                  # process's computation on CPU explicitly
+    pallas_precision: str = "highest"  # v2 MXU intersection precision:
+                                 # "highest" (6-pass bf16 == f32, oracle
+                                 # bit-parity) | "high" (3-pass, ~2x MXU)
+    pallas_cell_bits: int = 3    # coherent-compaction position grid
+                                 # (per-axis bits; 3 -> 8^3 cells)
+    pallas_dir_split: bool = False  # split octants by dominant axis (24
+                                 # direction bins) in the coherent sort
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
@@ -481,7 +488,10 @@ def trace_ir(
             jnp.asarray(receiver_yaw_deg, jnp.float32),
             params, rays_per_tile=opts.rays_per_tile,
             n_total_rays=n_total, interpret=opts.pallas_interpret,
-            compact=opts.pallas_compact, version=opts.pallas_version)
+            compact=opts.pallas_compact, version=opts.pallas_version,
+            precision=opts.pallas_precision,
+            cell_bits=opts.pallas_cell_bits,
+            dir_split=opts.pallas_dir_split)
         return _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
                                       opts.soft_binning,
                                       use_pallas_hist=opts.pallas_histogram)
@@ -553,7 +563,10 @@ def render_ir(
             jnp.asarray(receiver_yaw_deg, jnp.float32),
             params, n_total_rays=n_total_rays,
             interpret=opts.pallas_interpret, compact=opts.pallas_compact,
-            version=2, native_rng_seed=seed, n_rays=n_rays)
+            version=2, native_rng_seed=seed, n_rays=n_rays,
+            precision=opts.pallas_precision,
+            cell_bits=opts.pallas_cell_bits,
+            dir_split=opts.pallas_dir_split)
         return _histogram_from_events(ev_bin_f, ev_w, ev_ear,
                                       params, opts.soft_binning,
                                       use_pallas_hist=opts.pallas_histogram)

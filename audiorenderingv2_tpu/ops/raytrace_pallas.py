@@ -274,27 +274,48 @@ def _trace_round_kernel(scal_ref, tris_ref, state_ref, out_ref,
                                       jnp.float32)
 
 
-def _compaction_keys(state: jax.Array, coherent: bool) -> jax.Array:
+def _compaction_keys(state: jax.Array, coherent: bool,
+                     cell_bits: int = 3, dir_split: bool = False) -> jax.Array:
     """Sort keys for between-round compaction.
 
     Plain mode: done flag (alive rays first). Coherent mode (cluster-culled
     scenes): alive rays additionally grouped by a coarse position cell and
     direction octant, so rays landing in a tile tend to reach the same
-    clusters and the per-tile slab test actually skips work."""
+    clusters and the per-tile slab test actually skips work.
+
+    ``cell_bits``: per-axis position grid resolution (3 -> 8^3 cells,
+    4 -> 16^3). ``dir_split``: additionally split each octant by dominant
+    direction axis (x3 bins) — tighter direction cones per tile. Finer keys
+    shrink the cluster set a tile can reach (fewer front-to-back visits per
+    bounce) at the cost of the tail tiles being less full; the sort itself
+    costs the same. Key range stays far below 2^24 (f32-exact)."""
     done = state[:, _C_DONE]
     if not coherent:
         return done
+    res = 1 << cell_bits
     p = state[:, _C_PX:_C_PZ + 1]
     v = state[:, _C_VX:_C_VZ + 1]
     pmin = jnp.min(p, axis=0)
     pmax = jnp.max(p, axis=0)
     cell = jnp.clip(((p - pmin) / jnp.maximum(pmax - pmin, 1e-6)
-                     * 7.999).astype(jnp.int32), 0, 7)
-    code = cell[:, 0] * 64 + cell[:, 1] * 8 + cell[:, 2]
+                     * (res - 0.001)).astype(jnp.int32), 0, res - 1)
+    code = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
     octant = ((v[:, 0] > 0).astype(jnp.int32) * 4
               + (v[:, 1] > 0).astype(jnp.int32) * 2
               + (v[:, 2] > 0).astype(jnp.int32))
-    return done * 8192.0 + (code * 8 + octant).astype(jnp.float32)
+    if dir_split:
+        av = jnp.abs(v)
+        axis = jnp.where(
+            (av[:, 0] >= av[:, 1]) & (av[:, 0] >= av[:, 2]), 0,
+            jnp.where(av[:, 1] >= av[:, 2], 1, 2))
+        dirbin = octant * 3 + axis
+        n_dir = 24
+    else:
+        dirbin = octant
+        n_dir = 8
+    key_range = res ** 3 * n_dir
+    return done * float(key_range) + (code * n_dir + dirbin).astype(
+        jnp.float32)
 
 
 def _partition_alive_first(state: jax.Array) -> jax.Array:
@@ -378,7 +399,8 @@ def trace_round(state, tris_packed, scal, params: TraceParams,
 @functools.partial(
     jax.jit,
     static_argnames=("params", "rays_per_tile", "n_total_rays", "interpret",
-                     "compact", "version", "n_rays"))
+                     "compact", "version", "n_rays", "precision",
+                     "cell_bits", "dir_split"))
 def trace_events_pallas(
     tris_packed,
     directions: jax.Array | None,
@@ -393,6 +415,9 @@ def trace_events_pallas(
     version: int = 1,
     native_rng_seed: jax.Array | None = None,
     n_rays: int | None = None,
+    precision: str = "highest",
+    cell_bits: int = 3,
+    dir_split: bool = False,
 ):
     """Trace rays with the fused kernel in compacting rounds.
 
@@ -463,7 +488,8 @@ def trace_events_pallas(
         def compact_tiles(tiles):
             st = v2.from_tiles(tiles)
             if boxes is not None:
-                st = _sort_state_by_keys(st, _compaction_keys(st, True))
+                st = _sort_state_by_keys(st, _compaction_keys(
+                    st, True, cell_bits=cell_bits, dir_split=dir_split))
             else:
                 st = _partition_alive_first(st)
             return v2.to_tiles(st)
@@ -478,18 +504,19 @@ def trace_events_pallas(
             def body(tiles, _):
                 tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,
                                           scal, params, budgets[0],
-                                          interpret)
+                                          interpret, precision)
                 return compact_tiles(tiles), None
 
             tiles, _ = jax.lax.scan(body, tiles, None,
                                     length=len(budgets) - 1)
             tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,
-                                      scal, params, budgets[-1], interpret)
+                                      scal, params, budgets[-1], interpret,
+                                      precision)
         else:
             for k, budget in enumerate(budgets):
                 tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,
                                           scal, params, budget,
-                                          interpret)
+                                          interpret, precision)
                 if compact and k + 1 < len(budgets):
                     tiles = compact_tiles(tiles)
         state = v2.from_tiles(tiles)

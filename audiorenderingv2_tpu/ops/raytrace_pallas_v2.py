@@ -259,7 +259,9 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                            n_groups: int,
                            max_bounces: int, round_budget: int,
                            n_clusters: int,
-                           use_cull: bool, n_bands: int):
+                           use_cull: bool, n_bands: int,
+                           precision=jax.lax.Precision.HIGHEST,
+                           count_visits: bool = False):
     s = lambda j: scal_ref[0, j]
     inf = jnp.float32(jnp.inf)
     sub = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _LANES), 0)
@@ -308,7 +310,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             # HIGHEST precision: multi-pass bf16 == f32 accuracy. Default
             # single-pass bf16 corrupts geometry (8-bit mantissa positions).
             out = jnp.dot(a, pd8, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)   # [48, 128]
+                          precision=precision)                   # [48, 128]
             no, nd = out[0:8], out[8:16]
             ou, du = out[16:24], out[24:32]
             ov, dv = out[32:40], out[40:48]
@@ -388,8 +390,14 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             okc = (tf >= entry) & (bx(6) > 0.0) & alive        # [C, 128]
             entry_c = jnp.min(jnp.where(okc, entry, inf),
                               axis=1, keepdims=True)           # [C, 1]
+            # Lane layout for the traversal selection state: a [C, 1]
+            # column uses one lane of ~C/8 vector registers, so every
+            # per-visit argmin/mask op costs ~20 registers; reshaped to
+            # [1, C] (rows are contiguous, so this is a relayout, done
+            # ONCE per bounce) the same ops cost ceil(C/128) registers.
+            entry_t = entry_c.reshape(1, n_clusters)           # [1, C]
             iota_c = jax.lax.broadcasted_iota(
-                jnp.int32, (n_clusters, 1), 0)
+                jnp.int32, (1, n_clusters), 1)
 
             def cluster_intersect(c, best):
                 # Whole-cluster intersection: triangles in lanes. Six
@@ -404,7 +412,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                 dot_t = lambda lhs, rhs: jax.lax.dot_general(
                     lhs, rhs, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
                 no = dot_t(a[0:8], pd8)
                 nd = dot_t(a[8:16], pd8)
                 ou = dot_t(a[16:24], pd8)
@@ -427,7 +435,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                 picked = jax.lax.dot_general(
                     at, winf, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)       # [8, 128]
+                    precision=precision)                       # [8, 128]
                 wid = (c * 128 + win_sub).astype(jnp.float32) + 1.0
                 return (jnp.where(better, gt, best_t),
                         jnp.where(better, picked[0:1], bnx),
@@ -441,7 +449,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                 """Nearest unvisited reachable cluster: (entry, id) scalars
                 extracted through the (1,1) SMEM scratch. entry == inf when
                 nothing reachable remains."""
-                rem = jnp.where(visited > 0.0, inf, entry_c)
+                rem = jnp.where(visited > 0.0, inf, entry_t)
                 scr_f_ref[0, 0] = jnp.min(rem)
                 tn_k = scr_f_ref[0, 0]
                 sel = rem <= tn_k
@@ -455,7 +463,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                 scr_f_ref[0, 0] = jnp.max(jnp.where(alive, best_t, 0.0))
                 return tn_k < scr_f_ref[0, 0]
 
-            visited0 = jnp.zeros((n_clusters, 1), jnp.float32)
+            visited0 = jnp.zeros((1, n_clusters), jnp.float32)
             tn_0, c_0 = next_cluster(visited0)
             trav0 = (jnp.int32(0), tn_0, c_0, visited0, best0,
                      worth(tn_0, best0[0]))
@@ -469,9 +477,15 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                 return (k + 1, tn_k, c_id, visited, best,
                         (k + 1 < n_clusters) & worth(tn_k, best[0]))
 
-            (_, _, _, _, best, _) = jax.lax.while_loop(
+            (k_vis, _, _, _, best, _) = jax.lax.while_loop(
                 lambda c: c[5], trav_body, trav0)
             best_t, bnx, bny, bnz, bab, btri = best
+            if count_visits:
+                # Diagnostics: accumulate the number of cluster visits this
+                # bounce into the (otherwise unused) LTRI column — every
+                # lane of the tile carries the same count; benchmarks read
+                # mean visits as sum(col)/(128 * bounces * tiles).
+                ltri = ltri + jnp.float32(1.0) * k_vis.astype(jnp.float32)
         elif n_groups <= 32:
             # Static unroll lets Mosaic pipeline the small MXU dots across
             # groups; a fori_loop serializes them behind the carry.
@@ -533,7 +547,8 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
         # bounce depth at which the receiver was entered (sticky). depth is
         # read pre-increment — receiver rays are not surface rays, so their
         # depth equals the number of completed bounces = the replay step.
-        ltri = jnp.where(surface, btri, ltri)
+        if not count_visits:  # visit counting borrows the LTRI column
+            ltri = jnp.where(surface, btri, ltri)
         recvd = jnp.where(receiver, depth, recvd)
         depth = jnp.where(surface, depth + 1.0, depth)
         newly_done = receiver | miss | jnp.logical_not(can_continue)
@@ -559,15 +574,26 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
         out_ref[0, k] = writes.get(k, zero)
 
 
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,  # 6-pass bf16 == f32
+               "high": jax.lax.Precision.HIGH,        # 3-pass bf16
+               "default": jax.lax.Precision.DEFAULT}  # single-pass bf16
+
+
 def trace_round_v2(state, coeffs, attrs, boxes, scal,
                    params: TraceParams, round_budget: int,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   precision: str = "highest",
+                   count_visits: bool = False) -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
     ``state``: [n_tiles, NCOLS, 1, 128] (see ``to_tiles``/``from_tiles``).
     ``boxes``: [n_clusters, 8] cluster AABBs or None (no culling). With
     boxes set, the kernel runs the front-to-back traversal (boxes live in
     VMEM for the vectorized [C, 128] slab pass).
+    ``precision``: MXU passes for the intersection dots — "highest"
+    (bit-parity with the f32 oracle) or "high" (3-pass bf16, ~2x MXU
+    throughput; geometry error ~2^-21 relative, below the tracer's own
+    1e-7 barycentric epsilons).
     """
     n_tiles = state.shape[0]
     ncols = state.shape[1]
@@ -581,7 +607,8 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
         _trace_round_kernel_v2, n_groups=t_total // _GROUP,
         max_bounces=params.max_bounces, round_budget=round_budget,
         n_clusters=boxes.shape[0], use_cull=use_cull,
-        n_bands=n_bands)
+        n_bands=n_bands, precision=_PRECISIONS[precision],
+        count_visits=count_visits)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),

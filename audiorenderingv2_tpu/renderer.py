@@ -254,8 +254,26 @@ class AudioRenderer:
                           samples: np.ndarray) -> np.ndarray:
         """Move the listener, re-render, convolve — the reference's
         full_render_cycle under its output-buffer mutex
-        (AudioRenderer.cpp:790-798). Returns the stereo output [2, L]."""
+        (AudioRenderer.cpp:790-798). Returns the stereo output [2, L].
+
+        Emits one structured log record per cycle (utils.logging) — the
+        replacement for the reference's "Time taken by Optix" prints
+        (AudioRenderer.cpp:513-518), off until the logger is configured."""
+        import time as _time
+
+        from .utils.logging import get_logger
+
         with self.lock:
+            t0 = _time.perf_counter()
             self.set_receiver(receiver_pos, receiver_yaw_deg)
             self.render()
-            return self.convolve_audio_file(samples)
+            t_render = _time.perf_counter() - t0
+            out = self.convolve_audio_file(samples)
+            get_logger().event(
+                "full_render_cycle",
+                render_ms=round(t_render * 1e3, 3),
+                convolve_ms=round((_time.perf_counter() - t0 - t_render)
+                                  * 1e3, 3),
+                receiver=list(np.asarray(receiver_pos, dtype=float)),
+                yaw_deg=float(receiver_yaw_deg))
+            return out

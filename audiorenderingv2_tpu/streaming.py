@@ -305,9 +305,16 @@ class AsyncRenderWorker:
                 self._is_rendering = True
             try:
                 if self.samples is None:  # live mode: render only
+                    t0 = time.perf_counter()
                     with self.renderer.lock:
                         self.renderer.set_receiver(pos, yaw)
                         self.renderer.render()
+                    from .utils.logging import get_logger
+                    get_logger().event(
+                        "live_rerender",
+                        render_ms=round((time.perf_counter() - t0) * 1e3, 3),
+                        receiver=[float(x) for x in pos],
+                        yaw_deg=float(yaw))
                     out = None
                 else:
                     out = self.renderer.full_render_cycle(pos, yaw,
