@@ -50,6 +50,22 @@ _CROWS = _NQ * _GROUP  # coefficient rows per cluster (48) in the v3 layout
 (_T_NX, _T_NY, _T_NZ, _T_ABS) = range(4)
 _MAX_BANDS = 8
 
+# Cluster-path triangle row layout ([C*128 tris, _NR] — triangles in
+# SUBLANES, per-triangle quantities in lanes; see pack_tris_v2 cluster
+# branch). The per-visit intersection broadcasts [16, 1] triangle columns
+# against [1, 128] ray rows on the VPU — measured far cheaper than MXU
+# dots at this K=8 grain (each small lhs-transposed dot pays ~500 cycles
+# of fixed pipeline cost; six of them per visit at HIGHEST's 6 bf16
+# passes dominated the large-scene render).
+(_R_PNX, _R_PNY, _R_PNZ, _R_PD,
+ _R_AUX, _R_AUY, _R_AUZ, _R_AUO,
+ _R_AVX, _R_AVY, _R_AVZ, _R_AVO,
+ _R_NX, _R_NY, _R_NZ, _R_VAL, _R_ABS) = range(17)
+_NR = 24  # 16 fixed + up to 8 absorption bands
+_TRI_CHUNK = 16  # triangles per VPU sub-block ([16, 128] working arrays
+                 # keep the live register set small — [128, 128]
+                 # intermediates spill)
+
 
 def tn_cols(n_bands: int) -> int:
     """Attribute columns: 3 normal + n_bands absorption + valid, rounded to
@@ -83,21 +99,18 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
       — rows [g*48 + q*8 + i] hold the 8 PD-coefficients of quantity q for
       triangle g*8+i — and attrs [T, 8]. Lane-padding waste is irrelevant
       at this size.
-    * **cluster layout** (``boxes`` set): coeff [C*48, 128] — for cluster
-      c, row c*48 + q*8 + k, column j = coefficient k of quantity q of
-      triangle c*128+j — and attrs [C*8, 128] (rows nx, ny, nz,
-      absorption bands, zero pad; columns = triangles). Triangles live in
-      the LANE dimension, so VMEM cost is 28 KB per 128-triangle cluster
-      instead of the group layout's 16x lane-padded ~160 KB; the kernel
-      intersects a whole cluster per step with lhs-transposed MXU dots.
+    * **cluster layout** (``boxes`` set): one [C*128, _NR] row array,
+      triangle i of cluster c at row c*128 + i, lanes = plane (pn, pd),
+      barycentric (au, u_off, av, v_off), unit normal, valid flag, then
+      n_bands absorption columns; ``attrs`` returns None. The kernel's
+      per-visit intersection slices [16, _NR] sub-blocks and broadcasts
+      their [16, 1] columns against [1, 128] ray rows (exact-f32 VPU
+      outer products; see the _TRI_CHUNK note above).
 
-    The six quantities, with PD = (px, py, pz, vx, vy, vz, 1, 0):
+    The group layout's six quantities, with PD = (px,py,pz,vx,vy,vz,1,0):
       no = pn . p + pd     nd = pn . v
       ou = au . p + u_off  du = au . v
       ov = av . p + v_off  dv = av . v
-    Invalid/padding triangles get all-zero coefficients (nd == 0 can never
-    pass the intersection's ``safe`` test), so the cluster path needs no
-    separate validity column.
     """
     t = sc.plane_n.shape[0]
     if t % _GROUP:
@@ -158,27 +171,28 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
                 attrs = attrs[:keep * _GROUP]
         return coeffs, attrs, None
 
-    # cluster layout: triangles in lanes
+    # Cluster layout: triangles in SUBLANES — [C*128, _NR] rows, one row
+    # per triangle, lanes = (plane, bary-u, bary-v, normal, valid,
+    # absorption bands). The kernel's per-visit intersection slices 16-row
+    # sub-blocks and broadcasts their [16, 1] columns against the tile's
+    # [1, 128] ray rows (pure exact-f32 VPU; no MXU, no transposes).
     if t % 128:
         raise ValueError(f"clustered scene: {t} tris not a multiple of 128")
     n_clus = t // 128
-    q = q * (sc.valid > 0).astype(jnp.float32)[:, None, None]
-    coeffs = q.reshape(n_clus, 128, _NQ, 8).transpose(0, 2, 3, 1) \
-        .reshape(n_clus * _CROWS, 128).astype(jnp.float32)
-    pad_rows = [zeros] * (tn - 3 - n_bands)
-    attrs = jnp.stack([
-        sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2],
+    pad_rows = [zeros] * (_NR - 16 - n_bands)
+    rows = jnp.stack([
+        sc.plane_n[:, 0], sc.plane_n[:, 1], sc.plane_n[:, 2], sc.plane_d,
+        sc.bary_u[:, 0], sc.bary_u[:, 1], sc.bary_u[:, 2], sc.u_off,
+        sc.bary_v[:, 0], sc.bary_v[:, 1], sc.bary_v[:, 2], sc.v_off,
+        sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2], sc.valid,
         *ab_cols, *pad_rows,
-    ], axis=1).astype(jnp.float32)  # [T, tn] -> per-cluster [tn rows, 128]
-    attrs = attrs.reshape(n_clus, 128, tn).transpose(0, 2, 1) \
-        .reshape(n_clus * tn, 128)
+    ], axis=1).astype(jnp.float32)  # [T, _NR]
     if n_valid is not None:
         keep_c = max(1, -(-n_valid // 128))
         if keep_c < boxes.shape[0]:
-            coeffs = coeffs[:keep_c * _CROWS]
-            attrs = attrs[:keep_c * tn]
+            rows = rows[:keep_c * 128]
             boxes = boxes[:keep_c]
-    return coeffs, attrs, boxes
+    return rows, None, boxes
 
 
 def _init_state_kernel_v2(scal_ref, out_ref, *, n_real: int, n_bands: int):
@@ -260,8 +274,9 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                            max_bounces: int, round_budget: int,
                            n_clusters: int,
                            use_cull: bool, n_bands: int,
-                           precision=jax.lax.Precision.HIGHEST,
-                           count_visits: bool = False):
+                           precision: str = "highest",
+                           count_visits: bool = False,
+                           diag: str = "full"):
     s = lambda j: scal_ref[0, j]
     inf = jnp.float32(jnp.inf)
     sub = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _LANES), 0)
@@ -269,8 +284,29 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
     zero = jnp.zeros((1, _LANES), jnp.float32)
     ones = jnp.ones((1, _LANES), jnp.float32)
     C = v1  # column indices shared with v1
+
+    split3 = precision == "split3"
+
+    def _hl(x):
+        """bf16 hi/lo split: x == hi + lo with hi, lo bf16-representable
+        (lo to ~2^-18 relative), so single-pass bf16 MXU dots on (hi, lo)
+        reconstruct the f32 product with 3 passes instead of HIGHEST's 6."""
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def mxu_dot(lhs, rhs, dims):
+        """f32-accurate MXU dot at the configured precision."""
+        if not split3:
+            return jax.lax.dot_general(lhs, rhs, (dims, ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=_PRECISIONS[precision])
+        lh, ll = _hl(lhs)
+        rh, rl = _hl(rhs)
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+        return d(lh, rh) + d(lh, rl) + d(ll, rh)
     en_cols, evw_cols = _band_cols(n_bands)
-    n_attr_rows = tn_cols(n_bands)
     t_val = _T_ABS + n_bands  # valid flag sits after the absorption columns
 
     init = (
@@ -307,10 +343,9 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
         def group_step(g, best):
             best_t, bnx, bny, bnz, bab, btri = best
             a = coeff_ref[pl.ds(g * _AROWS, _AROWS), :]          # [48, 8]
-            # HIGHEST precision: multi-pass bf16 == f32 accuracy. Default
-            # single-pass bf16 corrupts geometry (8-bit mantissa positions).
-            out = jnp.dot(a, pd8, preferred_element_type=jnp.float32,
-                          precision=precision)                   # [48, 128]
+            # Multi-pass bf16 == f32 accuracy; default single-pass bf16
+            # corrupts geometry (8-bit mantissa positions).
+            out = mxu_dot(a, pd8, ((1,), (0,)))                  # [48, 128]
             no, nd = out[0:8], out[8:16]
             ou, du = out[16:24], out[24:32]
             ov, dv = out[32:40], out[40:48]
@@ -342,7 +377,12 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
 
         best0 = (jnp.full((1, _LANES), inf), zero, zero, zero,
                  (zero,) * n_bands, zero)
-        if use_cull:
+        if use_cull and diag == "notrav":
+            # Diagnostic: skip slab + traversal + intersection entirely
+            # (physically wrong: every ray misses). Times the per-round
+            # fixed machinery (state IO, receiver, bounce tail, loop sync).
+            best_t, bnx, bny, bnz, bab, btri = best0
+        elif use_cull:
             # Front-to-back cluster traversal — the TPU analog of ordered
             # BVH descent (the reference's OptiX GAS, AudioRenderer.cpp:95-
             # 218). Visibility culling alone leaves tens of reachable
@@ -371,25 +411,33 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                 jnp.abs(v) > eps_d, v, jnp.where(v >= 0, eps_d, -eps_d))
             ivx, ivy, ivz = inv(vx), inv(vy), inv(vz)
 
-            bx = lambda j: box_ref[:, j:j + 1]                 # [C, 1]
-            t1 = (bx(0) - px) * ivx
-            t2 = (bx(3) - px) * ivx                            # [C, 128]
-            tn = jnp.minimum(t1, t2)
-            tf = jnp.maximum(t1, t2)
-            t1 = (bx(1) - py) * ivy
-            t2 = (bx(4) - py) * ivy
-            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            t1 = (bx(2) - pz) * ivz
-            t2 = (bx(5) - pz) * ivz
-            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            entry = jnp.maximum(tn, 0.0)
-            # bx(6) is the box-valid flag: padding/empty boxes cannot be
-            # rejected by the slab math alone.
-            okc = (tf >= entry) & (bx(6) > 0.0) & alive        # [C, 128]
-            entry_c = jnp.min(jnp.where(okc, entry, inf),
-                              axis=1, keepdims=True)           # [C, 1]
+            # Chunked slab pass: 16 clusters at a time, so every working
+            # array is [16, 128] (2 vector registers). A single [C, 128]
+            # pass keeps ~6 arrays of ~C/8 registers live and spills.
+            entry_parts = []
+            for j0 in range(0, n_clusters, _TRI_CHUNK):
+                w = min(_TRI_CHUNK, n_clusters - j0)
+                bx = lambda j: box_ref[j0:j0 + w, j:j + 1]     # [w, 1]
+                t1 = (bx(0) - px) * ivx
+                t2 = (bx(3) - px) * ivx                        # [w, 128]
+                tn = jnp.minimum(t1, t2)
+                tf = jnp.maximum(t1, t2)
+                t1 = (bx(1) - py) * ivy
+                t2 = (bx(4) - py) * ivy
+                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                t1 = (bx(2) - pz) * ivz
+                t2 = (bx(5) - pz) * ivz
+                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                entry = jnp.maximum(tn, 0.0)
+                # bx(6) is the box-valid flag: padding/empty boxes cannot
+                # be rejected by the slab math alone.
+                okc = (tf >= entry) & (bx(6) > 0.0) & alive    # [w, 128]
+                entry_parts.append(jnp.min(jnp.where(okc, entry, inf),
+                                           axis=1, keepdims=True))
+            entry_c = (entry_parts[0] if len(entry_parts) == 1
+                       else jnp.concatenate(entry_parts, axis=0))  # [C, 1]
             # Lane layout for the traversal selection state: a [C, 1]
             # column uses one lane of ~C/8 vector registers, so every
             # per-visit argmin/mask op costs ~20 registers; reshaped to
@@ -399,51 +447,57 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             iota_c = jax.lax.broadcasted_iota(
                 jnp.int32, (1, n_clusters), 1)
 
+            sub16 = jax.lax.broadcasted_iota(
+                jnp.int32, (_TRI_CHUNK, _LANES), 0)
+
             def cluster_intersect(c, best):
-                # Whole-cluster intersection: triangles in lanes. Six
-                # lhs-transposed MXU dots give the [128 tri, 128 ray]
-                # quantity blocks; the winner's attributes come from ONE
-                # [8, 128] @ [128, 128] dot against the 0/1 winner mask.
-                best_t, bnx, bny, bnz, bab, btri = best
-                a = coeff_ref[pl.ds(pl.multiple_of(c * _CROWS, 8),
-                                    _CROWS), :]                # [48, 128]
-                at = attr_ref[pl.ds(pl.multiple_of(c * n_attr_rows, 8),
-                                    n_attr_rows), :]  # [n_attr_rows, 128]
-                dot_t = lambda lhs, rhs: jax.lax.dot_general(
-                    lhs, rhs, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)
-                no = dot_t(a[0:8], pd8)
-                nd = dot_t(a[8:16], pd8)
-                ou = dot_t(a[16:24], pd8)
-                du = dot_t(a[24:32], pd8)
-                ov = dot_t(a[32:40], pd8)
-                dv = dot_t(a[40:48], pd8)
-                safe = jnp.abs(nd) > 1e-12  # zero coeffs (padding) fail here
-                t = -no / jnp.where(safe, nd, 1.0)
-                u = ou + t * du
-                v = ov + t * dv
-                ok = (safe & (t > constants.T_MIN)
-                      & (u >= -1e-7) & (v >= -1e-7) & (u + v <= 1.0 + 1e-7))
-                tm = jnp.where(ok, t, inf)
-                gt = jnp.min(tm, axis=0, keepdims=True)        # [1, 128]
-                better = gt < best_t
-                tsub = jax.lax.broadcasted_iota(jnp.int32, (128, _LANES), 0)
-                win_sub = jnp.min(jnp.where(tm <= gt, tsub, 128),
-                                  axis=0, keepdims=True)
-                winf = (tsub == win_sub).astype(jnp.float32)   # [128, 128]
-                picked = jax.lax.dot_general(
-                    at, winf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)                       # [8, 128]
-                wid = (c * 128 + win_sub).astype(jnp.float32) + 1.0
-                return (jnp.where(better, gt, best_t),
-                        jnp.where(better, picked[0:1], bnx),
-                        jnp.where(better, picked[1:2], bny),
-                        jnp.where(better, picked[2:3], bnz),
-                        tuple(jnp.where(better, picked[3 + b:4 + b], bab[b])
-                              for b in range(n_bands)),
-                        jnp.where(better, wid, btri))
+                # Whole-cluster intersection, 16 triangles at a time:
+                # triangle quantity columns [16, 1] broadcast against the
+                # tile's ray rows [1, 128] — exact-f32 VPU outer products
+                # (the oracle's Möller–Trumbore order), running winner in
+                # [1, 128] rows. [16, 128] working arrays keep the live
+                # register set ~20 registers; MXU dots at this K=8 grain
+                # measured ~1 s per bf16 pass-set on the 20k-tri workload.
+                tri0 = pl.multiple_of(c * 128, 8)
+                trn = coeff_ref[pl.ds(tri0, 128), :]           # [128, _NR]
+                for j in range(128 // _TRI_CHUNK):
+                    best_t, bnx, bny, bnz, bab, btri = best
+                    tr = trn[j * _TRI_CHUNK:(j + 1) * _TRI_CHUNK, :]
+                    cr = lambda k: tr[:, k:k + 1]              # [16, 1]
+                    nd = vx * cr(_R_PNX) + vy * cr(_R_PNY) + vz * cr(_R_PNZ)
+                    no = (px * cr(_R_PNX) + py * cr(_R_PNY)
+                          + pz * cr(_R_PNZ) + cr(_R_PD))
+                    safe = jnp.abs(nd) > 1e-12
+                    t = -no / jnp.where(safe, nd, 1.0)
+                    ou = (px * cr(_R_AUX) + py * cr(_R_AUY)
+                          + pz * cr(_R_AUZ) + cr(_R_AUO))
+                    du = vx * cr(_R_AUX) + vy * cr(_R_AUY) + vz * cr(_R_AUZ)
+                    u = ou + t * du
+                    ov = (px * cr(_R_AVX) + py * cr(_R_AVY)
+                          + pz * cr(_R_AVZ) + cr(_R_AVO))
+                    dv = vx * cr(_R_AVX) + vy * cr(_R_AVY) + vz * cr(_R_AVZ)
+                    v = ov + t * dv
+                    ok = (safe & (t > constants.T_MIN)
+                          & (u >= -1e-7) & (v >= -1e-7)
+                          & (u + v <= 1.0 + 1e-7) & (cr(_R_VAL) > 0))
+                    tm = jnp.where(ok, t, inf)                 # [16, 128]
+                    ct = jnp.min(tm, axis=0, keepdims=True)    # [1, 128]
+                    better = ct < best_t
+                    win_sub = jnp.min(jnp.where(tm <= ct, sub16, _TRI_CHUNK),
+                                      axis=0, keepdims=True)
+                    win = sub16 == win_sub
+                    pick = lambda k: jnp.sum(
+                        jnp.where(win, cr(k), 0.0), axis=0, keepdims=True)
+                    wid = (c * 128 + j * _TRI_CHUNK
+                           + win_sub).astype(jnp.float32) + 1.0
+                    best = (jnp.where(better, ct, best_t),
+                            jnp.where(better, pick(_R_NX), bnx),
+                            jnp.where(better, pick(_R_NY), bny),
+                            jnp.where(better, pick(_R_NZ), bnz),
+                            tuple(jnp.where(better, pick(_R_ABS + b), bab[b])
+                                  for b in range(n_bands)),
+                            jnp.where(better, wid, btri))
+                return best
 
             def next_cluster(visited):
                 """Nearest unvisited reachable cluster: (entry, id) scalars
@@ -468,14 +522,17 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             trav0 = (jnp.int32(0), tn_0, c_0, visited0, best0,
                      worth(tn_0, best0[0]))
 
+            max_visits = 1 if diag == "sel1" else n_clusters
+
             def trav_body(carry):
                 k, tn_k, c_id, visited, best, _ = carry
-                best = cluster_intersect(c_id, best)
+                if diag != "sel1":  # sel1: selection cost, empty visit
+                    best = cluster_intersect(c_id, best)
                 visited = jnp.maximum(
                     visited, (iota_c == c_id).astype(jnp.float32))
                 tn_k, c_id = next_cluster(visited)
                 return (k + 1, tn_k, c_id, visited, best,
-                        (k + 1 < n_clusters) & worth(tn_k, best[0]))
+                        (k + 1 < max_visits) & worth(tn_k, best[0]))
 
             (k_vis, _, _, _, best, _) = jax.lax.while_loop(
                 lambda c: c[5], trav_body, trav0)
@@ -574,8 +631,10 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
         out_ref[0, k] = writes.get(k, zero)
 
 
+# "split3" is a manual 3-pass bf16 hi/lo decomposition (see _hl in the
+# kernel) — Mosaic rejects lax.Precision.HIGH, so the 3-pass variant is
+# hand-rolled; ~2x MXU throughput vs "highest" at ~2^-17 relative error.
 _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,  # 6-pass bf16 == f32
-               "high": jax.lax.Precision.HIGH,        # 3-pass bf16
                "default": jax.lax.Precision.DEFAULT}  # single-pass bf16
 
 
@@ -583,7 +642,8 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
                    params: TraceParams, round_budget: int,
                    interpret: bool = False,
                    precision: str = "highest",
-                   count_visits: bool = False) -> jax.Array:
+                   count_visits: bool = False,
+                   diag: str = "full") -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
     ``state``: [n_tiles, NCOLS, 1, 128] (see ``to_tiles``/``from_tiles``).
@@ -599,16 +659,18 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     ncols = state.shape[1]
     n_bands = params.n_bands
     assert ncols == state_ncols(n_bands), (ncols, n_bands)
-    t_total = attrs.shape[0]
     use_cull = boxes is not None
     if boxes is None:
         boxes = jnp.zeros((1, 8), jnp.float32)
+    if attrs is None:  # cluster layout: everything lives in coeffs' rows
+        attrs = jnp.zeros((8, 8), jnp.float32)
+    t_total = attrs.shape[0]
     kernel = functools.partial(
         _trace_round_kernel_v2, n_groups=t_total // _GROUP,
         max_bounces=params.max_bounces, round_budget=round_budget,
         n_clusters=boxes.shape[0], use_cull=use_cull,
-        n_bands=n_bands, precision=_PRECISIONS[precision],
-        count_visits=count_visits)
+        n_bands=n_bands, precision=precision,
+        count_visits=count_visits, diag=diag)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -120,7 +120,7 @@ def main():
             lopts = ar.TracerOptions(
                 backend="pallas", pallas_version=2,
                 pallas_precision=os.environ.get("AR2_BENCH_LARGE_PREC",
-                                                "high"),
+                                                "split3"),
                 pallas_cell_bits=int(os.environ.get("AR2_BENCH_CELL_BITS",
                                                     4)),
                 pallas_dir_split=os.environ.get("AR2_BENCH_DIR_SPLIT",

