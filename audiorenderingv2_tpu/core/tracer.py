@@ -92,7 +92,11 @@ class TracerOptions:
                                  # process's computation on CPU explicitly
     pallas_precision: str = "highest"  # v2 MXU intersection precision:
                                  # "highest" (6-pass bf16 == f32, oracle
-                                 # bit-parity) | "high" (3-pass, ~2x MXU)
+                                 # bit-parity) | "high" (alias "split3";
+                                 # 3-pass, ~2x MXU). Only the unclustered
+                                 # (group-layout) v2 path uses the MXU;
+                                 # the clustered path's VPU intersection
+                                 # ignores this knob.
     pallas_cell_bits: int = 3    # coherent-compaction position grid
                                  # (per-axis bits; 3 -> 8^3 cells)
     pallas_dir_split: bool = False  # split octants by dominant axis (24
@@ -334,7 +338,7 @@ def _trace_block(dirs_block, energy0, sc, emitter, rec_center, yaw_rad,
             return step(st), None
 
         state, _ = jax.lax.scan(body, state, None, length=params.max_bounces)
-    return state.ev_bin_f, state.ev_w, state.ev_ear
+    return state.ev_bin_f, state.ev_w, state.ev_ear, state.depth
 
 
 def _slot_bins(bin_f: jax.Array, active: jax.Array, n_bins: int, soft: bool):
@@ -447,6 +451,7 @@ def trace_ir(
     params: TraceParams,
     opts: TracerOptions = TracerOptions(),
     n_total_rays: int | None = None,
+    with_stats: bool = False,
 ) -> jax.Array:
     """Trace ``directions`` and return the stereo IR histogram.
 
@@ -460,10 +465,14 @@ def trace_ir(
       n_total_rays: global ray count for energy normalization when this call
         traces one shard of a larger launch (energy = base_power /
         (n_total * sphere_volume), devicePrograms.cu:207-208).
+      with_stats: also return {"bounces": [N(_pad)] f32 per-ray completed
+        bounce counts} — the useful-work measure for flop/MFU accounting
+        (bench.py), computed by the same compiled program (no re-trace).
 
     Returns float32 [2, ir_length] (left, right), or
-    [2, n_bands, ir_length] when params.n_bands > 1. Mono folding is applied
-    by the renderer layer (kernels.cu:519-536), not here.
+    [2, n_bands, ir_length] when params.n_bands > 1 — as (ir, stats) when
+    ``with_stats``. Mono folding is applied by the renderer layer
+    (kernels.cu:519-536), not here.
     """
     n = directions.shape[0]
     n_total = n_total_rays if n_total_rays is not None else n
@@ -481,7 +490,7 @@ def trace_ir(
             tris_packed = rp2.pack_tris_v2(sc, params.n_bands)
         else:
             tris_packed = rp.pack_tris(sc)
-        ev_bin_f, ev_w, ev_ear = rp.trace_events_pallas(
+        ev_bin_f, ev_w, ev_ear, *rest = rp.trace_events_pallas(
             tris_packed, jnp.asarray(directions, jnp.float32),
             jnp.asarray(emitter, jnp.float32),
             jnp.asarray(receiver_pos, jnp.float32),
@@ -491,10 +500,12 @@ def trace_ir(
             compact=opts.pallas_compact, version=opts.pallas_version,
             precision=opts.pallas_precision,
             cell_bits=opts.pallas_cell_bits,
-            dir_split=opts.pallas_dir_split)
-        return _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
-                                      opts.soft_binning,
-                                      use_pallas_hist=opts.pallas_histogram)
+            dir_split=opts.pallas_dir_split,
+            return_depth=with_stats)
+        ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
+                                    opts.soft_binning,
+                                    use_pallas_hist=opts.pallas_histogram)
+        return (ir, {"bounces": rest[0]}) if with_stats else ir
 
     block = min(opts.block_size, n)
     n_pad = ((n + block - 1) // block) * block
@@ -520,12 +531,15 @@ def trace_ir(
     if opts.remat:
         block_fn = jax.checkpoint(block_fn)
 
-    ev_bin_f, ev_w, ev_ear = jax.lax.map(block_fn, (dirs, energy0))
+    ev_bin_f, ev_w, ev_ear, depth = jax.lax.map(block_fn, (dirs, energy0))
 
-    return _histogram_from_events(
+    ir = _histogram_from_events(
         ev_bin_f.reshape(-1), ev_w.reshape(-1, params.n_bands),
         ev_ear.reshape(-1), params, opts.soft_binning,
         use_pallas_hist=opts.pallas_histogram)
+    if with_stats:
+        return ir, {"bounces": depth.reshape(-1)[:n].astype(jnp.float32)}
+    return ir
 
 
 def render_ir(
@@ -538,6 +552,7 @@ def render_ir(
     params: TraceParams,
     opts: TracerOptions = TracerOptions(),
     n_total_rays: int | None = None,
+    with_stats: bool = False,
 ) -> jax.Array:
     """Keyed render: sample (or on-chip generate) directions and trace.
 
@@ -556,7 +571,7 @@ def render_ir(
         # The seed rides in an f32 scalar slot; cap below 2^23 so it survives
         # the round trip exactly (the kernel further offsets by tile id).
         seed = jax.random.randint(key, (), 0, 2**23)
-        ev_bin_f, ev_w, ev_ear = rp.trace_events_pallas(
+        ev_bin_f, ev_w, ev_ear, *rest = rp.trace_events_pallas(
             rp2.pack_tris_v2(sc, params.n_bands), None,
             jnp.asarray(emitter, jnp.float32),
             jnp.asarray(receiver_pos, jnp.float32),
@@ -566,12 +581,14 @@ def render_ir(
             version=2, native_rng_seed=seed, n_rays=n_rays,
             precision=opts.pallas_precision,
             cell_bits=opts.pallas_cell_bits,
-            dir_split=opts.pallas_dir_split)
-        return _histogram_from_events(ev_bin_f, ev_w, ev_ear,
-                                      params, opts.soft_binning,
-                                      use_pallas_hist=opts.pallas_histogram)
+            dir_split=opts.pallas_dir_split,
+            return_depth=with_stats)
+        ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear,
+                                    params, opts.soft_binning,
+                                    use_pallas_hist=opts.pallas_histogram)
+        return (ir, {"bounces": rest[0]}) if with_stats else ir
     from . import sampling
 
     dirs = sampling.sample_directions(key, n_rays)
     return trace_ir(sc, dirs, emitter, receiver_pos, receiver_yaw_deg,
-                    params, opts, n_total_rays)
+                    params, opts, n_total_rays, with_stats=with_stats)

@@ -62,27 +62,25 @@ def render_ir_matrix(
     n_pairs = s * l
 
     if mesh is not None:
-        # Sharded renders split each pair's rays over the mesh; pairs stay
-        # sequential (each dispatch is already device-wide).
-        def one(k, em, rc, yw):
-            return render_ir_sharded(sc, k, n_rays, em, rc, yw, params, opts,
-                                     mesh=mesh)
+        # Sharded renders split each pair's rays over the mesh AND batch the
+        # pair axis in the same dispatch: vmap outside shard_map, so one
+        # device-wide kernel evaluates pair_batch poses per host round-trip
+        # instead of one dispatch + sync per pair.
+        @jax.jit
+        def many(ks, ems, rcs, yws):
+            def one(k, em, rc, yw):
+                return render_ir_sharded(sc, k, n_rays, em, rc, yw, params,
+                                         opts, mesh=mesh)
 
-        out = np.zeros((s, l, 2, params.ir_length), np.float32)
-        for si, em in enumerate(emitters):
-            for li, (rc, yw) in enumerate(zip(receivers, yaws)):
-                k = jax.random.fold_in(key, si * l + li)
-                out[si, li] = np.asarray(one(k, jnp.asarray(em),
-                                             jnp.asarray(rc), jnp.float32(yw)))
-        return out
+            return jax.vmap(one)(ks, ems, rcs, yws)
+    else:
+        @jax.jit
+        def many(ks, ems, rcs, yws):
+            def one(k, em, rc, yw):
+                dirs = sampling.sample_directions(k, n_rays)
+                return trace_ir(sc, dirs, em, rc, yw, params, opts)
 
-    @jax.jit
-    def many(ks, ems, rcs, yws):
-        def one(k, em, rc, yw):
-            dirs = sampling.sample_directions(k, n_rays)
-            return trace_ir(sc, dirs, em, rc, yw, params, opts)
-
-        return jax.vmap(one)(ks, ems, rcs, yws)
+            return jax.vmap(one)(ks, ems, rcs, yws)
 
     # Flat pair arrays; chunked vmap with the tail chunk padded to the
     # batch size so every dispatch reuses the one compiled executable.

@@ -53,11 +53,14 @@ _ROWS = 17
  _AVX, _AVY, _AVZ, _AVO,
  _NX, _NY, _NZ, _ABS, _VAL) = range(_ROWS)
 
-# Scalar-parameter slots (see _scalars).
+# Scalar-parameter slots (see _scalars). _S_BUDGET carries the per-round
+# bounce budget as a runtime value so every round of a schedule shares ONE
+# compiled kernel (budgets stay far below 2^24, f32-exact); _S_PAD14 carries
+# the native-RNG seed on the init kernel.
 _NSCAL = 16
 (_S_EMX, _S_EMY, _S_EMZ, _S_RCX, _S_RCY, _S_RCZ,
  _S_SINY, _S_COSY, _S_E0, _S_ETHR, _S_DTHR, _S_BINRATE,
- _S_R2, _S_PAD13, _S_PAD14, _S_PAD15) = range(_NSCAL)
+ _S_R2, _S_BUDGET, _S_PAD14, _S_PAD15) = range(_NSCAL)
 
 # Ray-state columns ([N, 16] float32; banded v2 runs extend to 24 — see
 # raytrace_pallas_v2.state_ncols / _band_cols). Columns 13-15 are only
@@ -288,10 +291,18 @@ def _compaction_keys(state: jax.Array, coherent: bool,
     direction axis (x3 bins) — tighter direction cones per tile. Finer keys
     shrink the cluster set a tile can reach (fewer front-to-back visits per
     bounce) at the cost of the tail tiles being less full; the sort itself
-    costs the same. Key range stays far below 2^24 (f32-exact)."""
+    costs the same. Keys ride in f32, so the full range (done flag x cells
+    x direction bins) must stay below 2^24 to sort exactly — validated
+    eagerly below (cell_bits <= 6 with dir_split, <= 7 without)."""
     done = state[:, _C_DONE]
     if not coherent:
         return done
+    n_dir_max = 24 if dir_split else 8
+    if 2 * (1 << (3 * cell_bits)) * n_dir_max > 1 << 24:
+        raise ValueError(
+            f"cell_bits={cell_bits} with dir_split={dir_split} pushes the "
+            f"compaction key range past 2^24; f32 keys would collapse. "
+            f"Use cell_bits <= {6 if dir_split else 7}.")
     res = 1 << cell_bits
     p = state[:, _C_PX:_C_PZ + 1]
     v = state[:, _C_VX:_C_VZ + 1]
@@ -400,7 +411,7 @@ def trace_round(state, tris_packed, scal, params: TraceParams,
     jax.jit,
     static_argnames=("params", "rays_per_tile", "n_total_rays", "interpret",
                      "compact", "version", "n_rays", "precision",
-                     "cell_bits", "dir_split"))
+                     "cell_bits", "dir_split", "return_depth"))
 def trace_events_pallas(
     tris_packed,
     directions: jax.Array | None,
@@ -418,6 +429,7 @@ def trace_events_pallas(
     precision: str = "highest",
     cell_bits: int = 3,
     dir_split: bool = False,
+    return_depth: bool = False,
 ):
     """Trace rays with the fused kernel in compacting rounds.
 
@@ -432,8 +444,11 @@ def trace_events_pallas(
       compact: sort ray state alive-first between rounds (argsort + gather;
         disable only for debugging).
       version: 1 = rays-in-sublanes kernel, 2 = rays-in-lanes + MXU kernel.
+      return_depth: additionally return the final per-ray bounce depth
+        column (for flop/MFU accounting in bench.py — the completed-bounce
+        count is the useful-work measure).
     Returns (ev_bin_f [N], ev_w [N], ev_ear [N]) event slots (length n_pad;
-    padding rays carry zero weight).
+    padding rays carry zero weight), plus depth [N] when ``return_depth``.
     """
     if directions is None:
         if version != 2 or native_rng_seed is None or n_rays is None:
@@ -494,34 +509,35 @@ def trace_events_pallas(
                 st = _partition_alive_first(st)
             return v2.to_tiles(st)
 
-        if compact and len(budgets) > 2 and len(set(budgets)) == 1:
-            # Uniform budgets (the clustered 1-bounce schedule): roll the
-            # identical round+compact pairs into one lax.scan body so the
-            # kernel is traced/compiled once, not max_bounces times —
-            # through the remote-compile tunnel that is minutes vs ~7.
-            # The last round runs outside the scan: its compaction would be
-            # a wasted full-state sort (nothing reads the order afterwards).
-            def body(tiles, _):
-                tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,
-                                          scal, params, budgets[0],
-                                          interpret, precision)
-                return compact_tiles(tiles), None
-
-            tiles, _ = jax.lax.scan(body, tiles, None,
-                                    length=len(budgets) - 1)
-            tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,
-                                      scal, params, budgets[-1], interpret,
+        if len(budgets) == 1:
+            tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
+                                      params, budgets[0], interpret,
                                       precision)
         else:
-            for k, budget in enumerate(budgets):
-                tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes,
-                                          scal, params, budget,
-                                          interpret, precision)
-                if compact and k + 1 < len(budgets):
-                    tiles = compact_tiles(tiles)
+            # ONE scan body for ANY schedule: the round budget rides in the
+            # scalar row (v2._S_BUDGET), so the kernel — and the compaction
+            # move — is traced and Mosaic-compiled exactly once per
+            # configuration (through the remote-compile tunnel, unrolled
+            # rounds cost minutes of compile each). The final round skips
+            # compaction (nothing reads the order afterwards); lax.cond
+            # keeps that inside the scan without a second kernel payload.
+            n_rounds = len(budgets)
+
+            def body(tiles, xb):
+                i, b = xb
+                tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
+                                          params, b, interpret, precision)
+                if compact:
+                    tiles = jax.lax.cond(i < n_rounds - 1, compact_tiles,
+                                         lambda t: t, tiles)
+                return tiles, None
+
+            xs = (jnp.arange(n_rounds), jnp.asarray(budgets, jnp.float32))
+            tiles, _ = jax.lax.scan(body, tiles, xs)
         state = v2.from_tiles(tiles)
-        return (state[:, _C_EVB], state[:, jnp.asarray(evw_cols)],
-                state[:, _C_EVE].astype(jnp.int32))
+        out = (state[:, _C_EVB], state[:, jnp.asarray(evw_cols)],
+               state[:, _C_EVE].astype(jnp.int32))
+        return out + (state[:, _C_DEPTH],) if return_depth else out
     else:
         if tris_packed.shape[1] % _LANES:
             raise ValueError(f"triangle count {tris_packed.shape[1]} not a "
@@ -537,5 +553,6 @@ def trace_events_pallas(
     # Compaction reorders rays, so all n_pad slots are returned; padding rays
     # carry zero weight and are dropped by the histogram's overflow bucket.
     # Event weights always carry a trailing band axis ([n_pad, n_bands]).
-    return (state[:, _C_EVB], state[:, _C_EVW:_C_EVW + 1],
-            state[:, _C_EVE].astype(jnp.int32))
+    out = (state[:, _C_EVB], state[:, _C_EVW:_C_EVW + 1],
+           state[:, _C_EVE].astype(jnp.int32))
+    return out + (state[:, _C_DEPTH],) if return_depth else out

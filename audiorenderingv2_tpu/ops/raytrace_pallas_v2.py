@@ -271,13 +271,17 @@ def _band_cols(n_bands: int):
 def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                            state_ref, out_ref, scr_f_ref, scr_i_ref, *,
                            n_groups: int,
-                           max_bounces: int, round_budget: int,
+                           max_bounces: int,
                            n_clusters: int,
                            use_cull: bool, n_bands: int,
                            precision: str = "highest",
                            count_visits: bool = False,
                            diag: str = "full"):
     s = lambda j: scal_ref[0, j]
+    # Runtime bounce budget for this round (scalar slot, not a compile-time
+    # constant): every round of a schedule — and every schedule — shares one
+    # compiled kernel, so a 4-round schedule costs ONE Mosaic compile.
+    round_budget = scal_ref[0, v1._S_BUDGET].astype(jnp.int32)
     inf = jnp.float32(jnp.inf)
     sub = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, _LANES), 0)
     col = lambda k: state_ref[0, k]  # [1, 128]
@@ -285,7 +289,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
     ones = jnp.ones((1, _LANES), jnp.float32)
     C = v1  # column indices shared with v1
 
-    split3 = precision == "split3"
+    split3 = precision in ("high", "split3")
 
     def _hl(x):
         """bf16 hi/lo split: x == hi + lo with hi, lo bf16-representable
@@ -537,7 +541,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             (k_vis, _, _, _, best, _) = jax.lax.while_loop(
                 lambda c: c[5], trav_body, trav0)
             best_t, bnx, bny, bnz, bab, btri = best
-            if count_visits:
+            if count_visits and diag != "notrav":
                 # Diagnostics: accumulate the number of cluster visits this
                 # bounce into the (otherwise unused) LTRI column — every
                 # lane of the tile carries the same count; benchmarks read
@@ -631,34 +635,47 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
         out_ref[0, k] = writes.get(k, zero)
 
 
-# "split3" is a manual 3-pass bf16 hi/lo decomposition (see _hl in the
-# kernel) — Mosaic rejects lax.Precision.HIGH, so the 3-pass variant is
-# hand-rolled; ~2x MXU throughput vs "highest" at ~2^-17 relative error.
+# "high" (alias "split3") is a manual 3-pass bf16 hi/lo decomposition (see
+# _hl in the kernel) — Mosaic rejects lax.Precision.HIGH, so the 3-pass
+# variant is hand-rolled; ~2x MXU throughput vs "highest" at ~2^-17 relative
+# error.
 _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,  # 6-pass bf16 == f32
                "default": jax.lax.Precision.DEFAULT}  # single-pass bf16
+_PRECISION_NAMES = ("highest", "default", "high", "split3")
 
 
 def trace_round_v2(state, coeffs, attrs, boxes, scal,
-                   params: TraceParams, round_budget: int,
+                   params: TraceParams, round_budget,
                    interpret: bool = False,
                    precision: str = "highest",
                    count_visits: bool = False,
                    diag: str = "full") -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
+    ``round_budget`` may be a Python int or a traced scalar — it rides in
+    the scalar row (slot _S_BUDGET), so rounds with different budgets reuse
+    one compiled kernel.
+
     ``state``: [n_tiles, NCOLS, 1, 128] (see ``to_tiles``/``from_tiles``).
     ``boxes``: [n_clusters, 8] cluster AABBs or None (no culling). With
     boxes set, the kernel runs the front-to-back traversal (boxes live in
     VMEM for the vectorized [C, 128] slab pass).
     ``precision``: MXU passes for the intersection dots — "highest"
-    (bit-parity with the f32 oracle) or "high" (3-pass bf16, ~2x MXU
-    throughput; geometry error ~2^-21 relative, below the tracer's own
-    1e-7 barycentric epsilons).
+    (bit-parity with the f32 oracle) or "high" (alias "split3"; 3-pass
+    bf16, ~2x MXU throughput; geometry error ~2^-17 relative, below the
+    tracer's own 1e-7 barycentric epsilons). Only the group-layout
+    (unclustered) path uses the MXU; the cluster path's VPU intersection
+    ignores precision entirely.
     """
+    if precision not in _PRECISION_NAMES:
+        raise ValueError(f"pallas_precision must be one of "
+                         f"{_PRECISION_NAMES}, got {precision!r}")
     n_tiles = state.shape[0]
     ncols = state.shape[1]
     n_bands = params.n_bands
     assert ncols == state_ncols(n_bands), (ncols, n_bands)
+    scal = scal.at[0, v1._S_BUDGET].set(
+        jnp.asarray(round_budget, jnp.float32))
     use_cull = boxes is not None
     if boxes is None:
         boxes = jnp.zeros((1, 8), jnp.float32)
@@ -667,7 +684,7 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     t_total = attrs.shape[0]
     kernel = functools.partial(
         _trace_round_kernel_v2, n_groups=t_total // _GROUP,
-        max_bounces=params.max_bounces, round_budget=round_budget,
+        max_bounces=params.max_bounces,
         n_clusters=boxes.shape[0], use_cull=use_cull,
         n_bands=n_bands, precision=precision,
         count_visits=count_visits, diag=diag)

@@ -26,6 +26,20 @@ import numpy as np
 # real-time re-render bar on its CUDA target.
 CUDA_BASELINE_RAYS_PER_S = 1.0e6
 
+# Speed-of-light reference points for MFU accounting (public TPU v5e spec:
+# 197 TFLOP/s bf16 on the MXU; the VPU's f32 peak is ~(8x128 lanes) x 2
+# flops (FMA) x ~0.94 GHz x 4 ALUs ~= 7.7 TFLOP/s — we use 4 TFLOP/s as a
+# conservative single-issue-FMA bound). The trace kernels' intersection
+# math runs on the VPU (clustered path) or multi-pass-bf16 MXU (group
+# path); either way the relevant roofline question is "how far from ANY
+# compute peak", so both are reported.
+V5E_PEAK_MXU_BF16 = 197e12
+V5E_PEAK_VPU_F32 = 4e12
+# Möller–Trumbore per (ray, triangle) test in this kernel: 6 dot products
+# (3 mul + 3 fma each ~= 8 flops), plane-t division, 2 fma for u/v, plus
+# compares/selects ~= 64 flops.
+FLOPS_PER_TEST = 64.0
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -72,7 +86,10 @@ def main():
 
     @jax.jit
     def render(key, emitter, rec, yaw):
-        return render_ir(sc, key, n_rays, emitter, rec, yaw, params, opts)
+        # with_stats returns per-ray completed bounce counts from the SAME
+        # compiled program (the useful-work measure for MFU accounting).
+        return render_ir(sc, key, n_rays, emitter, rec, yaw, params, opts,
+                         with_stats=True)
 
     emitter = jnp.zeros(3, jnp.float32)
     rec = jnp.array([2.5, 9.9, 0.0], jnp.float32)  # config.json receiver
@@ -80,8 +97,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    ir = jax.block_until_ready(render(key, emitter, rec, yaw))
-    log(f"compile+first render: {time.time()-t0:.2f}s, "
+    ir, stats = jax.block_until_ready(render(key, emitter, rec, yaw))
+    compile_first_s = time.time() - t0
+    log(f"compile+first render: {compile_first_s:.2f}s, "
         f"ir sum={float(np.asarray(ir).sum()):.4e}, "
         f"nonzero bins={int((np.asarray(ir) != 0).sum())}")
 
@@ -96,6 +114,26 @@ def main():
     log(f"render times: {[f'{t*1000:.1f}ms' for t in times]}; "
         f"median {t_render*1000:.1f} ms -> {rays_per_s:.3e} rays/s "
         f"({1.0/t_render:.2f} IR renders/s at 1M rays)")
+
+    # MFU / speed-of-light accounting (VERDICT r2 #5). Useful intersection
+    # work = one all-kernel-triangles test per completed bounce plus the
+    # final test that establishes each ray's miss/receiver exit. Everything
+    # else (histogram, compaction, state IO) is overhead this quantifies.
+    bounces = np.asarray(stats["bounces"])[:n_rays]
+    t_kernel = int(np.asarray(sc.valid).sum())
+    t_kernel = max(1, -(-t_kernel // 8)) * 8  # group-trimmed kernel tris
+    tests = (float(bounces.sum()) + n_rays) * t_kernel
+    flops_per_s = tests * FLOPS_PER_TEST / t_render
+    mfu = {
+        "mean_bounces": round(float(bounces.mean()), 2),
+        "flops_per_s": flops_per_s,
+        "pct_of_v5e_mxu_peak": 100.0 * flops_per_s / V5E_PEAK_MXU_BF16,
+        "pct_of_v5e_vpu_peak": 100.0 * flops_per_s / V5E_PEAK_VPU_F32,
+    }
+    log(f"useful-work roofline: {tests:.3e} ray-triangle tests/render -> "
+        f"{flops_per_s:.3e} flop/s = {mfu['pct_of_v5e_mxu_peak']:.4f}% of "
+        f"v5e MXU bf16 peak, {mfu['pct_of_v5e_vpu_peak']:.4f}% of VPU f32 "
+        f"peak (latency/fixed-cost-bound, not compute-bound)")
 
     # Second metric (VERDICT r1 #5): a realistic-scene workload so the
     # number being optimized is intersection throughput, not launch
@@ -117,12 +155,14 @@ def main():
                 sample_rate=16000, ir_length=32000, base_power=3.62,
                 max_bounces=32, energy_threshold=0.0,
                 hrtf_absorption_rate=0.9)
+            # Tuned-best clustered config (benchmarks/tune_large.py): 8^3
+            # position cells x 24 direction bins. pallas_precision is
+            # irrelevant here — the clustered path's VPU intersection
+            # ignores it (see TracerOptions).
             lopts = ar.TracerOptions(
                 backend="pallas", pallas_version=2,
-                pallas_precision=os.environ.get("AR2_BENCH_LARGE_PREC",
-                                                "split3"),
                 pallas_cell_bits=int(os.environ.get("AR2_BENCH_CELL_BITS",
-                                                    4)),
+                                                    3)),
                 pallas_dir_split=os.environ.get("AR2_BENCH_DIR_SPLIT",
                                                 "1") == "1")
 
@@ -130,12 +170,13 @@ def main():
             def render_large(k):
                 return render_ir(lsc, k, n_rays, jnp.zeros(3, jnp.float32),
                                  jnp.array([6.0, 1.0, -8.0], jnp.float32),
-                                 0.0, lparams, lopts)
+                                 0.0, lparams, lopts, with_stats=True)
 
             t0 = time.time()
-            jax.block_until_ready(render_large(key))
+            _, lstats = jax.block_until_ready(render_large(key))
+            l_compile_s = time.time() - t0
             log(f"large scene ({lscene.n_triangles} tris): compile+first "
-                f"{time.time()-t0:.1f}s")
+                f"{l_compile_s:.1f}s")
             lt = []
             for i in range(3):
                 t0 = time.time()
@@ -143,14 +184,29 @@ def main():
                     render_large(jax.random.fold_in(key, 100 + i)))
                 lt.append(time.time() - t0)
             l_render = float(np.median(lt))
+            # Clustered-path useful work: each completed bounce intersects
+            # ~visits x 128 triangles (visits/tile-bounce measured by
+            # benchmarks/count_visits.py; 0.81 for the 8^3 x 24dir keys).
+            l_bounces = np.asarray(lstats["bounces"])[:n_rays]
+            visits = float(os.environ.get("AR2_BENCH_VISITS", 0.81))
+            l_tests = (float(l_bounces.sum()) + n_rays) * visits * 128
+            l_flops_per_s = l_tests * FLOPS_PER_TEST / l_render
             extras["large_scene"] = {
                 "n_tris": int(lscene.n_triangles),
                 "n_rays": n_rays, "bounces": 32,
                 "rays_per_s": n_rays / l_render,
                 "renders_per_s": 1.0 / l_render,
+                "compile_first_s": round(l_compile_s, 1),
+                "mean_bounces": round(float(l_bounces.mean()), 2),
+                "flops_per_s": l_flops_per_s,
+                "pct_of_v5e_vpu_peak": 100.0 * l_flops_per_s
+                                       / V5E_PEAK_VPU_F32,
             }
             log(f"large scene: median {l_render*1000:.0f} ms -> "
-                f"{1.0/l_render:.2f} renders/s")
+                f"{1.0/l_render:.2f} renders/s; "
+                f"{l_flops_per_s:.3e} useful flop/s = "
+                f"{extras['large_scene']['pct_of_v5e_vpu_peak']:.4f}% of "
+                f"v5e VPU f32 peak")
         except Exception as e:  # never let the second metric kill the bench
             log(f"large-scene bench failed: {e!r}")
             extras["large_scene_error"] = repr(e)
@@ -160,6 +216,8 @@ def main():
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / CUDA_BASELINE_RAYS_PER_S,
+        "compile_first_s": round(compile_first_s, 1),
+        **mfu,
         **({"extras": extras} if extras else {}),
     }))
 

@@ -36,13 +36,16 @@ from audiorenderingv2_tpu.ops import raytrace_pallas_v2 as rp2
 
 
 def timeit(fn, n=5):
+    """Returns (median warm ms, compile+first s)."""
+    t0 = time.time()
     jax.block_until_ready(fn())
+    compile_s = time.time() - t0
     ts = []
     for _ in range(n):
         t0 = time.time()
         jax.block_until_ready(fn())
         ts.append(time.time() - t0)
-    return float(np.median(ts))
+    return float(np.median(ts)) * 1000, compile_s
 
 
 def main():
@@ -70,46 +73,51 @@ def main():
     key = jax.random.PRNGKey(0)
     out = {}
 
+    def stage(name, fn):
+        ms, compile_s = timeit(fn)
+        out[f"{name}_ms"] = round(ms, 2)
+        out[f"{name}_compile_s"] = round(compile_s, 1)
+        print(f"{name}: {ms:.2f} ms (compile+first {compile_s:.1f}s)",
+              flush=True)
+
     full = jax.jit(lambda k: render_ir(sc, k, n_rays, emitter, rec, 0.0,
                                        params, opts))
-    out["full_ms"] = timeit(lambda: full(key)) * 1000
+    stage("full", lambda: full(key))
 
     tris_packed = rp2.pack_tris_v2(sc, 1)
     dirs = sampling.sample_directions(key, n_rays)
 
     def trace(d):
         return rp.trace_events_pallas(tris_packed, d, emitter, rec, 0.0,
-                                      params)
-    out["trace_ms"] = timeit(lambda: trace(dirs)) * 1000
+                                      params, version=2)
+    stage("trace", lambda: trace(dirs))
 
     ev_bin, ev_w, ev_ear = jax.block_until_ready(trace(dirs))
 
     from audiorenderingv2_tpu.core.tracer import _histogram_from_events
     hist = jax.jit(lambda b, w, e: _histogram_from_events(
         b, w, e, params, False, use_pallas_hist=None))
-    out["hist_ms"] = timeit(lambda: hist(ev_bin, ev_w, ev_ear)) * 1000
+    stage("hist", lambda: hist(ev_bin, ev_w, ev_ear))
 
-    out["dirs_ms"] = timeit(
-        lambda: sampling.sample_directions(key, n_rays)) * 1000
+    stage("dirs", lambda: sampling.sample_directions(key, n_rays))
 
     e0 = params.base_power / (n_rays * 4.18879)
     n_pad = ((n_rays + 127) // 128) * 128
     init = jax.jit(lambda d: rp2.to_tiles(rp.init_state(d, emitter, e0,
                                                         n_pad)))
-    out["init_ms"] = timeit(lambda: init(dirs)) * 1000
+    stage("init", lambda: init(dirs))
 
     scal = rp._scalars(emitter, rec, jnp.float32(0.0), e0, params)
     coeffs, attrs, boxes = tris_packed
     tiles0 = jax.block_until_ready(init(dirs))
     r1 = jax.jit(lambda t: rp2.trace_round_v2(t, coeffs, attrs, boxes, scal,
                                               params, 6))
-    out["round1_ms"] = timeit(lambda: r1(tiles0)) * 1000
+    stage("round1", lambda: r1(tiles0))
 
     part = jax.jit(rp._partition_alive_first)
     st = rp.init_state(dirs, emitter, e0, n_pad)
-    out["partition_ms"] = timeit(lambda: part(st)) * 1000
+    stage("partition", lambda: part(st))
 
-    out = {k: round(v, 2) for k, v in out.items()}
     print(json.dumps(out), flush=True)
 
     if os.environ.get("AR2_PROFILE_TRACE"):

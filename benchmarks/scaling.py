@@ -80,11 +80,19 @@ def main():
         print(f"{r['devices']} device(s): weak-scaling efficiency "
               f"{r['efficiency']*100:.1f}%")
     out = Path(__file__).parent / f"scaling_results_{devices[0].platform}.json"
-    out.write_text(json.dumps({
+    payload = {
         "platform": devices[0].platform,
         "device_kind": devices[0].device_kind,
         "results": results,
-    }, indent=2))
+    }
+    if devices[0].platform == "cpu":
+        payload["caveat"] = (
+            "Virtual CPU devices share one host's physical cores: the "
+            "efficiency column measures core CONTENTION, not the sharding "
+            "design. It validates that the sharded program compiles, runs, "
+            "and stays numerically correct at N devices — real scaling "
+            "curves require N real chips.")
+    out.write_text(json.dumps(payload, indent=2))
     print(f"wrote {out}")
 
 

@@ -102,8 +102,15 @@ def main():
     for r in results:
         r["efficiency"] = r["rays_per_s"] / (base * r["processes"])
     out = Path(__file__).parent / "scaling_results_multihost.json"
-    out.write_text(json.dumps({"collectives": "gloo (cpu)",
-                               "results": results}, indent=2))
+    out.write_text(json.dumps({
+        "collectives": "gloo (cpu)",
+        "caveat": (
+            "Both processes' virtual devices share one host's physical "
+            "cores: the efficiency column measures core CONTENTION, not "
+            "the multi-host design. It proves the 2-process gloo runtime "
+            "executes and matches single-process numerics — real scaling "
+            "curves require real hosts."),
+        "results": results}, indent=2))
     print(f"wrote {out}")
 
 

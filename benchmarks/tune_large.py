@@ -7,7 +7,10 @@ are XLA-side).
 
 Usage: python benchmarks/tune_large.py [n_tris] [n_rays] [bounces] [cfgs...]
   cfgs: comma-separated precision:cell_bits:dir_split, e.g.
-        highest:3:0,high:3:0,high:4:1   (default: a small sweep)
+        highest:3:0,high:3:0,high:4:1   (default: a small sweep).
+  NOTE: the clustered path's VPU intersection ignores `precision`
+  (it only affects the unclustered group-layout MXU path), so sweep
+  entries differing only in precision measure the identical kernel.
 """
 import json
 import sys

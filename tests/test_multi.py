@@ -40,6 +40,32 @@ def test_matrix_shape_and_single_pair_parity():
     np.testing.assert_allclose(irs[1, 2], single, rtol=1e-4, atol=1e-8)
 
 
+def test_matrix_sharded_batches_pairs():
+    """mesh branch: pairs ride inside the sharded dispatch (vmap outside
+    shard_map) and match per-pair render_ir_sharded calls exactly."""
+    from audiorenderingv2_tpu.parallel import sharding
+
+    sc, params, opts = setup()
+    mesh = sharding.make_ray_mesh()
+    key = jax.random.PRNGKey(3)
+    emitters = np.array([[0.0, 0.0, 0.0], [2.0, 1.0, -1.0]])
+    receivers = np.array([[3.0, 0.0, 1.0], [-2.0, -1.0, 2.0]])
+    yaws = np.array([0.0, 30.0])
+    n_rays = 64 * mesh.devices.size
+    irs = multi.render_ir_matrix(sc, key, emitters, receivers, yaws, n_rays,
+                                 params, opts, mesh=mesh, pair_batch=3)
+    assert irs.shape == (2, 2, 2, SR)
+    for si in range(2):
+        for li in range(2):
+            k = jax.random.fold_in(key, si * 2 + li)
+            single = np.asarray(sharding.render_ir_sharded(
+                sc, k, n_rays, jnp.asarray(emitters[si], jnp.float32),
+                jnp.asarray(receivers[li], jnp.float32),
+                jnp.float32(yaws[li]), params, opts, mesh=mesh))
+            np.testing.assert_allclose(irs[si, li], single, rtol=1e-4,
+                                       atol=1e-8)
+
+
 def test_mix_is_linear():
     sc, params, opts = setup()
     key = jax.random.PRNGKey(1)
