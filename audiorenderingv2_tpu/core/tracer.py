@@ -101,6 +101,19 @@ class TracerOptions:
                                  # (per-axis bits; 3 -> 8^3 cells)
     pallas_dir_split: bool = False  # split octants by dominant axis (24
                                  # direction bins) in the coherent sort
+    pallas_sort_mode: str = "gather"  # coherent compaction: "gather"
+                                 # (key sort + one row gather) | "multi"
+                                 # (multi-operand lax.sort)
+    pallas_sort_interval: int = 1  # full coherent re-sort every k rounds
+                                 # (cheap alive-first partition in between)
+    pallas_round_budgets: tuple | None = None  # explicit per-round bounce
+                                 # budgets (overrides the schedule)
+    pallas_dynamic_grid: bool = True  # size each round's kernel grid to
+                                 # the live-ray prefix (skip all-done tiles)
+    pallas_layout: str = "auto"  # v2 triangle layout: "auto" (clusters ->
+                                 # rows, else group/MXU) | "rows" (VPU
+                                 # tri16 blocks, no MXU — best for small
+                                 # scenes) | "group" (MXU dots)
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
@@ -487,7 +500,8 @@ def trace_ir(
         if opts.pallas_version == 2:
             from ..ops import raytrace_pallas_v2 as rp2
 
-            tris_packed = rp2.pack_tris_v2(sc, params.n_bands)
+            tris_packed = rp2.pack_tris_v2(sc, params.n_bands,
+                                           layout=opts.pallas_layout)
         else:
             tris_packed = rp.pack_tris(sc)
         ev_bin_f, ev_w, ev_ear, *rest = rp.trace_events_pallas(
@@ -501,6 +515,10 @@ def trace_ir(
             precision=opts.pallas_precision,
             cell_bits=opts.pallas_cell_bits,
             dir_split=opts.pallas_dir_split,
+            sort_mode=opts.pallas_sort_mode,
+            sort_interval=opts.pallas_sort_interval,
+            round_budgets=opts.pallas_round_budgets,
+            dynamic_grid=opts.pallas_dynamic_grid,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
                                     opts.soft_binning,
@@ -572,7 +590,8 @@ def render_ir(
         # the round trip exactly (the kernel further offsets by tile id).
         seed = jax.random.randint(key, (), 0, 2**23)
         ev_bin_f, ev_w, ev_ear, *rest = rp.trace_events_pallas(
-            rp2.pack_tris_v2(sc, params.n_bands), None,
+            rp2.pack_tris_v2(sc, params.n_bands,
+                             layout=opts.pallas_layout), None,
             jnp.asarray(emitter, jnp.float32),
             jnp.asarray(receiver_pos, jnp.float32),
             jnp.asarray(receiver_yaw_deg, jnp.float32),
@@ -582,6 +601,10 @@ def render_ir(
             precision=opts.pallas_precision,
             cell_bits=opts.pallas_cell_bits,
             dir_split=opts.pallas_dir_split,
+            sort_mode=opts.pallas_sort_mode,
+            sort_interval=opts.pallas_sort_interval,
+            round_budgets=opts.pallas_round_budgets,
+            dynamic_grid=opts.pallas_dynamic_grid,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear,
                                     params, opts.soft_binning,

@@ -279,7 +279,7 @@ def _trace_round_kernel(scal_ref, tris_ref, state_ref, out_ref,
 
 def _compaction_keys(state: jax.Array, coherent: bool,
                      cell_bits: int = 3, dir_split: bool = False) -> jax.Array:
-    """Sort keys for between-round compaction.
+    """int32 sort keys for between-round compaction.
 
     Plain mode: done flag (alive rays first). Coherent mode (cluster-culled
     scenes): alive rays additionally grouped by a coarse position cell and
@@ -291,18 +291,16 @@ def _compaction_keys(state: jax.Array, coherent: bool,
     direction axis (x3 bins) — tighter direction cones per tile. Finer keys
     shrink the cluster set a tile can reach (fewer front-to-back visits per
     bounce) at the cost of the tail tiles being less full; the sort itself
-    costs the same. Keys ride in f32, so the full range (done flag x cells
-    x direction bins) must stay below 2^24 to sort exactly — validated
-    eagerly below (cell_bits <= 6 with dir_split, <= 7 without)."""
-    done = state[:, _C_DONE]
+    costs the same. Keys are int32 (exact to 2^31); cell_bits <= 8 keeps the
+    full range (done flag x cells x direction bins) in int32."""
+    done = state[:, _C_DONE].astype(jnp.int32)
     if not coherent:
         return done
     n_dir_max = 24 if dir_split else 8
-    if 2 * (1 << (3 * cell_bits)) * n_dir_max > 1 << 24:
+    if 2 * (1 << (3 * cell_bits)) * n_dir_max > 1 << 31:
         raise ValueError(
             f"cell_bits={cell_bits} with dir_split={dir_split} pushes the "
-            f"compaction key range past 2^24; f32 keys would collapse. "
-            f"Use cell_bits <= {6 if dir_split else 7}.")
+            f"compaction key range past int32. Use cell_bits <= 8.")
     res = 1 << cell_bits
     p = state[:, _C_PX:_C_PZ + 1]
     v = state[:, _C_VX:_C_VZ + 1]
@@ -325,8 +323,7 @@ def _compaction_keys(state: jax.Array, coherent: bool,
         dirbin = octant
         n_dir = 8
     key_range = res ** 3 * n_dir
-    return done * float(key_range) + (code * n_dir + dirbin).astype(
-        jnp.float32)
+    return done * key_range + code * n_dir + dirbin
 
 
 def _partition_alive_first(state: jax.Array) -> jax.Array:
@@ -348,10 +345,21 @@ def _partition_alive_first(state: jax.Array) -> jax.Array:
     return jnp.take(state, perm, axis=0)
 
 
-def _sort_state_by_keys(state: jax.Array, keys: jax.Array) -> jax.Array:
-    """Stable key sort of the ray state via one multi-operand lax.sort
-    (key + each state column as payload) — measured far cheaper than
-    argsort + row gather at 1M rays."""
+def _sort_state_by_keys(state: jax.Array, keys: jax.Array,
+                        mode: str = "gather") -> jax.Array:
+    """Stable key sort of the ray state.
+
+    ``mode="gather"`` (default): 2-operand (key, iota) sort producing the
+    permutation, then ONE contiguous row gather of the state — the sort
+    network carries 8 payload bytes per element instead of 100, and the
+    gather of 64/96-byte rows runs at HBM bandwidth.
+    ``mode="multi"``: one multi-operand lax.sort with every state column as
+    payload (each compare-exchange moves the full row through the sort
+    network; benchmarks/sort_bench.py measures both)."""
+    if mode == "gather":
+        iota = jnp.arange(state.shape[0], dtype=jnp.int32)
+        _, perm = jax.lax.sort([keys, iota], num_keys=1, is_stable=True)
+        return jnp.take(state, perm, axis=0)
     cols = [state[:, j] for j in range(state.shape[1])]
     out = jax.lax.sort([keys, *cols], num_keys=1, is_stable=True)
     return jnp.stack(out[1:], axis=1)
@@ -411,7 +419,8 @@ def trace_round(state, tris_packed, scal, params: TraceParams,
     jax.jit,
     static_argnames=("params", "rays_per_tile", "n_total_rays", "interpret",
                      "compact", "version", "n_rays", "precision",
-                     "cell_bits", "dir_split", "return_depth"))
+                     "cell_bits", "dir_split", "return_depth", "sort_mode",
+                     "sort_interval", "round_budgets", "dynamic_grid"))
 def trace_events_pallas(
     tris_packed,
     directions: jax.Array | None,
@@ -430,6 +439,10 @@ def trace_events_pallas(
     cell_bits: int = 3,
     dir_split: bool = False,
     return_depth: bool = False,
+    sort_mode: str = "gather",
+    sort_interval: int = 1,
+    round_budgets: tuple | None = None,
+    dynamic_grid: bool = False,
 ):
     """Trace rays with the fused kernel in compacting rounds.
 
@@ -447,6 +460,18 @@ def trace_events_pallas(
       return_depth: additionally return the final per-ray bounce depth
         column (for flop/MFU accounting in bench.py — the completed-bounce
         count is the useful-work measure).
+      sort_mode: coherent-compaction sort implementation — "gather"
+        (2-operand key sort + one row gather) or "multi" (multi-operand
+        lax.sort); see :func:`_sort_state_by_keys`.
+      sort_interval: run the full coherent re-sort every k-th round only;
+        other rounds use the cheap alive-first partition (coherence decays
+        gradually after a bounce — benchmarks/tune_large.py sweeps this).
+      round_budgets: explicit per-round bounce budgets overriding the
+        default schedule (must sum to >= params.max_bounces).
+      dynamic_grid: size each round's kernel grid to the live-ray prefix
+        (rays are alive-first after compaction, so tiles past
+        ceil(alive/128) are all-done and can be skipped entirely — their
+        state rides through the aliased buffer untouched).
     Returns (ev_bin_f [N], ev_w [N], ev_ear [N]) event slots (length n_pad;
     padding rays carry zero weight), plus depth [N] when ``return_depth``.
     """
@@ -469,7 +494,14 @@ def trace_events_pallas(
 
     clustered = (version == 2 and isinstance(tris_packed, tuple)
                  and tris_packed[2] is not None)
-    if not compact:
+    if round_budgets is not None:
+        if sum(round_budgets) < params.max_bounces:
+            raise ValueError(
+                f"round_budgets {round_budgets} sum to "
+                f"{sum(round_budgets)} < max_bounces {params.max_bounces}; "
+                f"deep paths would be truncated")
+        budgets = list(round_budgets)
+    elif not compact:
         budgets = [params.max_bounces]
     elif clustered:
         # Cluster-culled scenes: ONE bounce per round, coherent re-sort
@@ -500,14 +532,29 @@ def trace_events_pallas(
                 jnp.asarray(directions, jnp.float32),
                 jnp.asarray(emitter, jnp.float32), e0, n_pad,
                 ncols=ncols, en_cols=tuple(en_cols)))
-        def compact_tiles(tiles):
+        def coherent_tiles(tiles):
             st = v2.from_tiles(tiles)
-            if boxes is not None:
-                st = _sort_state_by_keys(st, _compaction_keys(
-                    st, True, cell_bits=cell_bits, dir_split=dir_split))
-            else:
-                st = _partition_alive_first(st)
+            st = _sort_state_by_keys(st, _compaction_keys(
+                st, True, cell_bits=cell_bits, dir_split=dir_split),
+                mode=sort_mode)
             return v2.to_tiles(st)
+
+        def partition_tiles(tiles):
+            st = v2.from_tiles(tiles)
+            return v2.to_tiles(_partition_alive_first(st))
+
+        compact_tiles = coherent_tiles if boxes is not None \
+            else partition_tiles
+
+        n_tiles_total = n_pad // _LANES
+
+        def active_tiles(tiles):
+            # Rays are alive-first after compaction, so the kernel only
+            # needs to visit the first ceil(alive / 128) tiles; the rest
+            # ride through the aliased state buffer untouched.
+            alive = jnp.sum((tiles[:, _C_DONE, 0, :] == 0.0)
+                            .astype(jnp.int32))
+            return jnp.clip((alive + _LANES - 1) // _LANES, 1, n_tiles_total)
 
         if len(budgets) == 1:
             tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
@@ -523,17 +570,36 @@ def trace_events_pallas(
             # keeps that inside the scan without a second kernel payload.
             n_rounds = len(budgets)
 
-            def body(tiles, xb):
+            def body(carry, xb):
+                tiles, n_act = carry
                 i, b = xb
-                tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
-                                          params, b, interpret, precision)
+                tiles = v2.trace_round_v2(
+                    tiles, coeffs, attrs, boxes, scal, params, b, interpret,
+                    precision,
+                    n_active_tiles=n_act if dynamic_grid else None)
                 if compact:
-                    tiles = jax.lax.cond(i < n_rounds - 1, compact_tiles,
-                                         lambda t: t, tiles)
-                return tiles, None
+                    not_last = i < n_rounds - 1
+                    if boxes is not None and sort_interval > 1:
+                        # Full coherent re-sort every k-th round; the cheap
+                        # alive-first partition keeps the live prefix dense
+                        # in between (stable, so cell grouping only decays
+                        # by the rays that moved).
+                        do_sort = (i % sort_interval) == (sort_interval - 1)
+                        tiles = jax.lax.cond(
+                            not_last,
+                            lambda t: jax.lax.cond(do_sort, coherent_tiles,
+                                                   partition_tiles, t),
+                            lambda t: t, tiles)
+                    else:
+                        tiles = jax.lax.cond(not_last, compact_tiles,
+                                             lambda t: t, tiles)
+                if dynamic_grid:
+                    n_act = active_tiles(tiles)
+                return (tiles, n_act), None
 
             xs = (jnp.arange(n_rounds), jnp.asarray(budgets, jnp.float32))
-            tiles, _ = jax.lax.scan(body, tiles, xs)
+            (tiles, _), _ = jax.lax.scan(
+                body, (tiles, jnp.int32(n_tiles_total)), xs)
         state = v2.from_tiles(tiles)
         out = (state[:, _C_EVB], state[:, jnp.asarray(evw_cols)],
                state[:, _C_EVE].astype(jnp.int32))

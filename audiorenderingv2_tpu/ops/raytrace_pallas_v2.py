@@ -89,9 +89,15 @@ def state_ncols(n_bands: int) -> int:
     return 16 + (-(-(2 * (lb - 1)) // 8)) * 8
 
 
-def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
+def pack_tris_v2(sc: SceneArrays, n_bands: int = 1, layout: str = "auto"):
     """Build the packed-triangle operands for the v2 kernel; returns
     (coeffs, attrs, boxes).
+
+    ``layout``: "auto" picks by whether the scene carries Morton clusters;
+    "rows" forces the cluster row layout even without clusters (the kernel
+    then runs the VPU tri16 intersection over every 16-triangle block with
+    no slab test — cheaper than the MXU group path for small scenes);
+    "group" forces the MXU group layout (requires no clusters).
 
     Two layouts, chosen by whether the scene carries Morton clusters:
 
@@ -154,8 +160,12 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
         import numpy as np
         n_valid = int(np.sum(np.asarray(sc.valid) > 0))
 
+    if layout not in ("auto", "rows", "group"):
+        raise ValueError(f"layout must be auto|rows|group, got {layout!r}")
+    if layout == "group" and boxes is not None:
+        raise ValueError("group layout cannot carry cluster boxes")
     tn = tn_cols(n_bands)
-    if boxes is None:
+    if boxes is None and layout != "rows":
         # group layout: [G*48, 8] coefficient rows, [T, tn] attributes
         coeffs = q.reshape(t // _GROUP, _GROUP, _NQ, 8).transpose(0, 2, 1, 3)
         coeffs = coeffs.reshape(t // _GROUP * _AROWS, 8).astype(jnp.float32)
@@ -171,14 +181,13 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
                 attrs = attrs[:keep * _GROUP]
         return coeffs, attrs, None
 
-    # Cluster layout: triangles in SUBLANES — [C*128, _NR] rows, one row
-    # per triangle, lanes = (plane, bary-u, bary-v, normal, valid,
+    # Cluster/rows layout: triangles in SUBLANES — [C*128, _NR] rows, one
+    # row per triangle, lanes = (plane, bary-u, bary-v, normal, valid,
     # absorption bands). The kernel's per-visit intersection slices 16-row
     # sub-blocks and broadcasts their [16, 1] columns against the tile's
     # [1, 128] ray rows (pure exact-f32 VPU; no MXU, no transposes).
-    if t % 128:
+    if boxes is not None and t % 128:
         raise ValueError(f"clustered scene: {t} tris not a multiple of 128")
-    n_clus = t // 128
     pad_rows = [zeros] * (_NR - 16 - n_bands)
     rows = jnp.stack([
         sc.plane_n[:, 0], sc.plane_n[:, 1], sc.plane_n[:, 2], sc.plane_d,
@@ -187,6 +196,16 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1):
         sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2], sc.valid,
         *ab_cols, *pad_rows,
     ], axis=1).astype(jnp.float32)  # [T, _NR]
+    if boxes is None:
+        # forced rows layout, no culling: trim to 16-triangle blocks
+        if n_valid is not None:
+            keep = max(1, -(-n_valid // _TRI_CHUNK)) * _TRI_CHUNK
+            if keep < rows.shape[0]:
+                rows = rows[:keep]
+        if rows.shape[0] % _TRI_CHUNK:
+            raise ValueError(f"rows layout: {rows.shape[0]} tris not a "
+                             f"multiple of {_TRI_CHUNK}")
+        return rows, None, None
     if n_valid is not None:
         keep_c = max(1, -(-n_valid // 128))
         if keep_c < boxes.shape[0]:
@@ -274,6 +293,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                            max_bounces: int,
                            n_clusters: int,
                            use_cull: bool, n_bands: int,
+                           n_blocks: int = 0,
                            precision: str = "highest",
                            count_visits: bool = False,
                            diag: str = "full"):
@@ -381,6 +401,51 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
 
         best0 = (jnp.full((1, _LANES), inf), zero, zero, zero,
                  (zero,) * n_bands, zero)
+
+        sub16 = jax.lax.broadcasted_iota(jnp.int32, (_TRI_CHUNK, _LANES), 0)
+
+        def tri16(tr, base, best):
+            """Intersect one [16, _NR] row block (cluster layout) against
+            the tile's rays: triangle quantity columns [16, 1] broadcast
+            against ray rows [1, 128] — exact-f32 VPU outer products (the
+            oracle's Möller–Trumbore order), running winner in [1, 128]
+            rows. ``base``: global triangle index of the block's first row
+            (static or traced)."""
+            best_t, bnx, bny, bnz, bab, btri = best
+            cr = lambda k: tr[:, k:k + 1]                  # [16, 1]
+            nd = vx * cr(_R_PNX) + vy * cr(_R_PNY) + vz * cr(_R_PNZ)
+            no = (px * cr(_R_PNX) + py * cr(_R_PNY)
+                  + pz * cr(_R_PNZ) + cr(_R_PD))
+            safe = jnp.abs(nd) > 1e-12
+            t = -no / jnp.where(safe, nd, 1.0)
+            ou = (px * cr(_R_AUX) + py * cr(_R_AUY)
+                  + pz * cr(_R_AUZ) + cr(_R_AUO))
+            du = vx * cr(_R_AUX) + vy * cr(_R_AUY) + vz * cr(_R_AUZ)
+            u = ou + t * du
+            ov = (px * cr(_R_AVX) + py * cr(_R_AVY)
+                  + pz * cr(_R_AVZ) + cr(_R_AVO))
+            dv = vx * cr(_R_AVX) + vy * cr(_R_AVY) + vz * cr(_R_AVZ)
+            v = ov + t * dv
+            ok = (safe & (t > constants.T_MIN)
+                  & (u >= -1e-7) & (v >= -1e-7)
+                  & (u + v <= 1.0 + 1e-7) & (cr(_R_VAL) > 0))
+            tm = jnp.where(ok, t, inf)                     # [16, 128]
+            ct = jnp.min(tm, axis=0, keepdims=True)        # [1, 128]
+            better = ct < best_t
+            win_sub = jnp.min(jnp.where(tm <= ct, sub16, _TRI_CHUNK),
+                              axis=0, keepdims=True)
+            win = sub16 == win_sub
+            pick = lambda k: jnp.sum(
+                jnp.where(win, cr(k), 0.0), axis=0, keepdims=True)
+            wid = (base + win_sub).astype(jnp.float32) + 1.0
+            return (jnp.where(better, ct, best_t),
+                    jnp.where(better, pick(_R_NX), bnx),
+                    jnp.where(better, pick(_R_NY), bny),
+                    jnp.where(better, pick(_R_NZ), bnz),
+                    tuple(jnp.where(better, pick(_R_ABS + b), bab[b])
+                          for b in range(n_bands)),
+                    jnp.where(better, wid, btri))
+
         if use_cull and diag == "notrav":
             # Diagnostic: skip slab + traversal + intersection entirely
             # (physically wrong: every ray misses). Times the per-round
@@ -455,52 +520,15 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                 jnp.int32, (_TRI_CHUNK, _LANES), 0)
 
             def cluster_intersect(c, best):
-                # Whole-cluster intersection, 16 triangles at a time:
-                # triangle quantity columns [16, 1] broadcast against the
-                # tile's ray rows [1, 128] — exact-f32 VPU outer products
-                # (the oracle's Möller–Trumbore order), running winner in
-                # [1, 128] rows. [16, 128] working arrays keep the live
+                # Whole-cluster intersection, 16 triangles at a time
+                # (tri16 above). [16, 128] working arrays keep the live
                 # register set ~20 registers; MXU dots at this K=8 grain
                 # measured ~1 s per bf16 pass-set on the 20k-tri workload.
                 tri0 = pl.multiple_of(c * 128, 8)
                 trn = coeff_ref[pl.ds(tri0, 128), :]           # [128, _NR]
                 for j in range(128 // _TRI_CHUNK):
-                    best_t, bnx, bny, bnz, bab, btri = best
-                    tr = trn[j * _TRI_CHUNK:(j + 1) * _TRI_CHUNK, :]
-                    cr = lambda k: tr[:, k:k + 1]              # [16, 1]
-                    nd = vx * cr(_R_PNX) + vy * cr(_R_PNY) + vz * cr(_R_PNZ)
-                    no = (px * cr(_R_PNX) + py * cr(_R_PNY)
-                          + pz * cr(_R_PNZ) + cr(_R_PD))
-                    safe = jnp.abs(nd) > 1e-12
-                    t = -no / jnp.where(safe, nd, 1.0)
-                    ou = (px * cr(_R_AUX) + py * cr(_R_AUY)
-                          + pz * cr(_R_AUZ) + cr(_R_AUO))
-                    du = vx * cr(_R_AUX) + vy * cr(_R_AUY) + vz * cr(_R_AUZ)
-                    u = ou + t * du
-                    ov = (px * cr(_R_AVX) + py * cr(_R_AVY)
-                          + pz * cr(_R_AVZ) + cr(_R_AVO))
-                    dv = vx * cr(_R_AVX) + vy * cr(_R_AVY) + vz * cr(_R_AVZ)
-                    v = ov + t * dv
-                    ok = (safe & (t > constants.T_MIN)
-                          & (u >= -1e-7) & (v >= -1e-7)
-                          & (u + v <= 1.0 + 1e-7) & (cr(_R_VAL) > 0))
-                    tm = jnp.where(ok, t, inf)                 # [16, 128]
-                    ct = jnp.min(tm, axis=0, keepdims=True)    # [1, 128]
-                    better = ct < best_t
-                    win_sub = jnp.min(jnp.where(tm <= ct, sub16, _TRI_CHUNK),
-                                      axis=0, keepdims=True)
-                    win = sub16 == win_sub
-                    pick = lambda k: jnp.sum(
-                        jnp.where(win, cr(k), 0.0), axis=0, keepdims=True)
-                    wid = (c * 128 + j * _TRI_CHUNK
-                           + win_sub).astype(jnp.float32) + 1.0
-                    best = (jnp.where(better, ct, best_t),
-                            jnp.where(better, pick(_R_NX), bnx),
-                            jnp.where(better, pick(_R_NY), bny),
-                            jnp.where(better, pick(_R_NZ), bnz),
-                            tuple(jnp.where(better, pick(_R_ABS + b), bab[b])
-                                  for b in range(n_bands)),
-                            jnp.where(better, wid, btri))
+                    best = tri16(trn[j * _TRI_CHUNK:(j + 1) * _TRI_CHUNK, :],
+                                 c * 128 + j * _TRI_CHUNK, best)
                 return best
 
             def next_cluster(visited):
@@ -547,6 +575,25 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                 # lane of the tile carries the same count; benchmarks read
                 # mean visits as sum(col)/(128 * bounces * tiles).
                 ltri = ltri + jnp.float32(1.0) * k_vis.astype(jnp.float32)
+        elif n_blocks > 0:
+            # Rows layout WITHOUT culling (small scenes): intersect every
+            # 16-triangle block on the VPU — no slab test, no traversal,
+            # no MXU. Blocks are trimmed to ceil(valid/16), so a
+            # 10-triangle reference scene costs ONE tri16 call per bounce
+            # (the group-layout MXU path would pay two 6-pass HIGHEST
+            # dot pipelines for the same work).
+            def block_step(b, best):
+                tri0 = pl.multiple_of(b * _TRI_CHUNK, 8)
+                return tri16(coeff_ref[pl.ds(tri0, _TRI_CHUNK), :],
+                             b * _TRI_CHUNK, best)
+
+            if n_blocks <= 8:  # static unroll for tiny scenes
+                best = best0
+                for b in range(n_blocks):
+                    best = block_step(b, best)
+            else:
+                best = jax.lax.fori_loop(0, n_blocks, block_step, best0)
+            best_t, bnx, bny, bnz, bab, btri = best
         elif n_groups <= 32:
             # Static unroll lets Mosaic pipeline the small MXU dots across
             # groups; a fori_loop serializes them behind the carry.
@@ -649,7 +696,8 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
                    interpret: bool = False,
                    precision: str = "highest",
                    count_visits: bool = False,
-                   diag: str = "full") -> jax.Array:
+                   diag: str = "full",
+                   n_active_tiles: jax.Array | None = None) -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
     ``round_budget`` may be a Python int or a traced scalar — it rides in
@@ -666,6 +714,9 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     tracer's own 1e-7 barycentric epsilons). Only the group-layout
     (unclustered) path uses the MXU; the cluster path's VPU intersection
     ignores precision entirely.
+    ``n_active_tiles``: optional traced scalar — run the kernel grid over
+    only the first n tiles (rays must be alive-first-compacted; skipped
+    tiles keep their state through the aliased buffer).
     """
     if precision not in _PRECISION_NAMES:
         raise ValueError(f"pallas_precision must be one of "
@@ -677,20 +728,24 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     scal = scal.at[0, v1._S_BUDGET].set(
         jnp.asarray(round_budget, jnp.float32))
     use_cull = boxes is not None
+    rows_layout = attrs is None
+    n_blocks = (coeffs.shape[0] // _TRI_CHUNK
+                if rows_layout and not use_cull else 0)
     if boxes is None:
         boxes = jnp.zeros((1, 8), jnp.float32)
-    if attrs is None:  # cluster layout: everything lives in coeffs' rows
+    if attrs is None:  # rows layout: everything lives in coeffs' rows
         attrs = jnp.zeros((8, 8), jnp.float32)
     t_total = attrs.shape[0]
     kernel = functools.partial(
         _trace_round_kernel_v2, n_groups=t_total // _GROUP,
         max_bounces=params.max_bounces,
         n_clusters=boxes.shape[0], use_cull=use_cull,
-        n_bands=n_bands, precision=precision,
+        n_bands=n_bands, n_blocks=n_blocks, precision=precision,
         count_visits=count_visits, diag=diag)
+    grid = (n_tiles if n_active_tiles is None else n_active_tiles,)
     return pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((1, v1._NSCAL), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),

@@ -10,7 +10,12 @@ state per bounce (32x per render). Candidate implementations:
   D. argsort(key) -> row gather
   E. sort keys only (lower bound: the irreducible key-sort cost)
 
-Usage: python benchmarks/sort_bench.py [n_rays] [ncols]
+Usage: python benchmarks/sort_bench.py [n_rays] [ncols] [variants]
+
+``variants`` defaults to "EBCD" — A (the multi-operand sort) is OFF by
+default: on the v5e axon tunnel its 25-operand sort was still compiling
+after 30 minutes (kill-after-30-min observation, 2026-08-20), which is by
+itself the reason the large-scene bench compile took 266 s in round 2.
 """
 import sys
 import time
@@ -20,6 +25,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import audiorenderingv2_tpu  # noqa: F401  (persistent compile cache)
 import jax
 import jax.numpy as jnp
 
@@ -37,13 +43,15 @@ def timeit(fn, *args, n=5):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     ncols = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    variants = sys.argv[3].upper() if len(sys.argv) > 3 else "EBCD"
     n = ((n + 127) // 128) * 128
     print(f"device: {jax.devices()[0]}; n={n} ncols={ncols}", flush=True)
 
     key = jax.random.PRNGKey(0)
     state = jax.random.normal(key, (n, ncols), jnp.float32)
     # Realistic key distribution: ~8^3 cells x 24 dirs + done bit
-    keys = jnp.floor(jax.random.uniform(key, (n,)) * 24576.0)
+    keys = jnp.floor(jax.random.uniform(key, (n,)) * 24576.0).astype(
+        jnp.int32)
 
     @jax.jit
     def sort_multi(st, k):
@@ -73,16 +81,22 @@ def main():
     def keys_only(k):
         return jax.lax.sort([k], num_keys=1, is_stable=True)[0]
 
-    for name, fn, args in [
-        ("A multi-operand sort", sort_multi, (state, keys)),
-        ("B sort+row-gather", sort_gather_rows, (state, keys)),
-        ("C sort+col-gather", sort_gather_cols, (state, keys)),
-        ("D argsort+row-gather", argsort_gather, (state, keys)),
-        ("E keys only", keys_only, (keys,)),
-    ]:
+    table = {
+        "A": ("A multi-operand sort", sort_multi, (state, keys)),
+        "B": ("B sort+row-gather", sort_gather_rows, (state, keys)),
+        "C": ("C sort+col-gather", sort_gather_cols, (state, keys)),
+        "D": ("D argsort+row-gather", argsort_gather, (state, keys)),
+        "E": ("E keys only", keys_only, (keys,)),
+    }
+    for v in variants:
+        name, fn, args = table[v]
         try:
+            t0 = time.time()
+            jax.block_until_ready(fn(*args))
+            tc = time.time() - t0
             ms = timeit(fn, *args)
-            print(f"{name}: {ms:.1f} ms", flush=True)
+            print(f"{name}: {ms:.1f} ms (compile+first {tc:.0f}s)",
+                  flush=True)
         except Exception as e:
             print(f"{name}: FAILED {e!r}", flush=True)
 

@@ -92,3 +92,80 @@ def test_pallas_ray_padding():
     b = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), jnp.array([1.0, 0.0, 0.0]),
                                0.0, params, xla_opts()))
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+
+
+def test_rows_layout_matches_xla():
+    """Forced rows layout (VPU tri16 blocks, no clusters, no MXU) matches
+    the XLA tracer on a small scene — the headline-bench fast path."""
+    v, t = testing.box_room((12.0, 8.0, 10.0))
+    scene = testing.scene_from_arrays(v, t, 0.3)
+    sc = ar.scene_to_arrays(scene, 128)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(12), 256)
+    rec = jnp.array([2.0, 0.0, 1.0], jnp.float32)
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 25.0, params,
+                               pallas_opts(2, pallas_layout="rows")))
+    b = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 25.0, params,
+                               xla_opts()))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+
+
+@pytest.mark.parametrize("dynamic", [False, True])
+def test_round_budgets_and_dynamic_grid(dynamic):
+    """Explicit round budgets + live-prefix dynamic grid preserve physics
+    (multi-round scan path with compaction between rounds)."""
+    v, t = testing.box_room((10.0, 9.0, 8.0))
+    scene = testing.scene_from_arrays(v, t, 0.25)
+    sc = ar.scene_to_arrays(scene, 128)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(14), 256)
+    rec = jnp.array([1.0, 1.0, -2.0], jnp.float32)
+    opts = pallas_opts(2, pallas_round_budgets=(2, 2, 2),
+                       pallas_dynamic_grid=dynamic)
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 0.0, params, opts))
+    b = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 0.0, params,
+                               xla_opts()))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+
+
+def test_round_budgets_validation():
+    v, t = testing.box_room((10.0, 9.0, 8.0))
+    scene = testing.scene_from_arrays(v, t, 0.25)
+    sc = ar.scene_to_arrays(scene, 128)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(14), 128)
+    with pytest.raises(ValueError, match="round_budgets"):
+        ar.trace_ir(sc, dirs, jnp.zeros(3), jnp.ones(3), 0.0, params,
+                    pallas_opts(2, pallas_round_budgets=(2, 2)))
+
+
+@pytest.mark.parametrize("sort_mode,interval", [("gather", 1), ("multi", 1),
+                                                ("gather", 4)])
+def test_clustered_sort_modes(sort_mode, interval):
+    """Clustered path parity across compaction-sort implementations and
+    re-sort intervals (partition on the in-between rounds)."""
+    from audiorenderingv2_tpu import accel
+
+    v, t = testing.icosphere(radius=6.0, subdivisions=3)  # 1280 tris
+    scene = testing.scene_from_arrays(v, t, 0.2)
+    sorted_scene, clusters = accel.prepare_scene(scene)
+    assert clusters is not None
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(16), 256)
+    rec = jnp.array([1.5, 0.5, -1.0], jnp.float32)
+    opts = pallas_opts(2, pallas_sort_mode=sort_mode,
+                       pallas_sort_interval=interval)
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 10.0, params,
+                               opts))
+    sc_plain = ar.scene_to_arrays(scene, 128)
+    b = np.asarray(ar.trace_ir(sc_plain, dirs, jnp.zeros(3), rec, 10.0,
+                               params, xla_opts()))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
