@@ -14,6 +14,11 @@ Modes:
                     WAV (main.cpp:653-718).
   experimentation — N timed render rounds + IR-peak Monte-Carlo statistics
                     (main.cpp:531-626).
+  walkthrough     — export an interactive first-person HTML view of the
+                    scene (utils/webview.py): the headless replacement for
+                    the reference's live GL window. Record a walk in the
+                    browser (T/E keys), then feed the downloaded JSON back
+                    into ``main --trajectory`` to auralize it.
 """
 from __future__ import annotations
 
@@ -29,17 +34,39 @@ def main(argv: list[str] | None = None) -> int:
         description="TPU-native differentiable acoustic renderer")
     parser.add_argument("config", help="path to config.json")
     parser.add_argument("mode", nargs="?", default="main",
-                        choices=["main", "export", "experimentation"])
+                        choices=["main", "export", "experimentation",
+                                 "walkthrough"])
     parser.add_argument("export_path", nargs="?", default="output.wav")
     parser.add_argument("--rounds", type=int, default=100,
                         help="experimentation rounds (reference: 100)")
     parser.add_argument("--duration", type=float, default=None,
                         help="main mode: seconds of audio to auralize")
+    parser.add_argument("--trajectory", default=None,
+                        help="main mode: trajectory JSON (times/positions/"
+                             "yaws_deg — the walkthrough recorder's export)"
+                             " instead of the default orbit")
+    parser.add_argument("--embed-audio", default=None,
+                        help="walkthrough mode: WAV to embed as a player")
     args = parser.parse_args(argv)
 
     from . import context as ctx_mod
 
     ctx = ctx_mod.load_context(args.config)
+
+    if args.mode == "walkthrough":
+        from .utils.webview import write_walkthrough_html
+
+        out = args.export_path
+        if out == "output.wav":  # mode-appropriate default
+            out = "walkthrough.html"
+        write_walkthrough_html(
+            ctx.scene, out,
+            emitter=ctx.config.scene.initial_emitter_pos,
+            receiver=ctx.receiver_pos,
+            receiver_yaw_deg=ctx.receiver_yaw_deg,
+            audio_wav_path=args.embed_audio)
+        print(f"walkthrough {out}")
+        return 0
 
     if args.mode == "export":
         ctx_mod.export_audio(ctx, args.export_path)
@@ -70,23 +97,36 @@ def main(argv: list[str] | None = None) -> int:
         samples = samples[: int(args.duration * ctx.sample_rate)]
     duration = len(samples) / ctx.sample_rate
 
-    # Default trajectory: start at the configured receiver, orbit the emitter.
-    start = np.asarray(ctx.receiver_pos, np.float32)
-    emitter = np.asarray(ctx.config.scene.initial_emitter_pos, np.float32)
-    radius_vec = start - emitter
-    points = []
-    n_keys = 9
-    for i in range(n_keys):
-        ang = 2.0 * np.pi * i / (n_keys - 1) * 0.5  # half orbit
-        c, s = np.cos(ang), np.sin(ang)
-        offset = np.array([
-            c * radius_vec[0] + s * radius_vec[2],
-            radius_vec[1],
-            -s * radius_vec[0] + c * radius_vec[2],
-        ], np.float32)
-        pos = emitter + offset
-        yaw = float(np.degrees(np.arctan2(-offset[2], -offset[0])))
-        points.append(TrajectoryPoint(duration * i / (n_keys - 1), pos, yaw))
+    if args.trajectory is not None:
+        # A recorded browser walk (utils/webview.py's T/E recorder) or any
+        # JSON with times/positions/yaws_deg.
+        import json
+
+        with open(args.trajectory) as f:
+            rec = json.load(f)
+        traj = ListenerTrajectory.from_arrays(
+            rec["times"], rec["positions"], rec["yaws_deg"])
+        points = traj.points
+    else:
+        # Default trajectory: start at the configured receiver, orbit the
+        # emitter.
+        start = np.asarray(ctx.receiver_pos, np.float32)
+        emitter = np.asarray(ctx.config.scene.initial_emitter_pos, np.float32)
+        radius_vec = start - emitter
+        points = []
+        n_keys = 9
+        for i in range(n_keys):
+            ang = 2.0 * np.pi * i / (n_keys - 1) * 0.5  # half orbit
+            c, s = np.cos(ang), np.sin(ang)
+            offset = np.array([
+                c * radius_vec[0] + s * radius_vec[2],
+                radius_vec[1],
+                -s * radius_vec[0] + c * radius_vec[2],
+            ], np.float32)
+            pos = emitter + offset
+            yaw = float(np.degrees(np.arctan2(-offset[2], -offset[0])))
+            points.append(TrajectoryPoint(duration * i / (n_keys - 1), pos,
+                                          yaw))
 
     policy = ReRenderPolicy(
         distance_threshold=ctx.config.renderer.re_render_distance_threshold,

@@ -108,8 +108,15 @@ class TracerOptions:
                                  # (cheap alive-first partition in between)
     pallas_round_budgets: tuple | None = None  # explicit per-round bounce
                                  # budgets (overrides the schedule)
-    pallas_dynamic_grid: bool = True  # size each round's kernel grid to
-                                 # the live-ray prefix (skip all-done tiles)
+    pallas_dynamic_grid: bool = False  # size each round's kernel grid to
+                                 # the live-ray prefix (skip all-done
+                                 # tiles). Off by default: with the
+                                 # reference's energy_threshold=0 rays
+                                 # only die by receiver hit or escape
+                                 # (93% alive at bounce 32 on the office
+                                 # bench), and the traced grid dimension
+                                 # measurably inflates Mosaic compile
+                                 # through the remote tunnel.
     pallas_layout: str = "auto"  # v2 triangle layout: "auto" (clusters ->
                                  # rows, else group/MXU) | "rows" (VPU
                                  # tri16 blocks, no MXU — best for small

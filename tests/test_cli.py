@@ -77,3 +77,27 @@ def test_bad_mode_rejected(tiny_setup):
     cfg, _ = tiny_setup
     with pytest.raises(SystemExit):
         cli.main([str(cfg), "nonsense"])
+
+
+def test_walkthrough_mode(tiny_setup, capsys):
+    cfg, tmp = tiny_setup
+    out = tmp / "walk.html"
+    assert cli.main([str(cfg), "walkthrough", str(out)]) == 0
+    html = out.read_text()
+    assert "<canvas" in html and "const DATA" in html
+
+
+def test_main_mode_recorded_trajectory(tiny_setup):
+    """A browser-recorded trajectory JSON drives main-mode auralization."""
+    cfg, tmp = tiny_setup
+    traj = tmp / "traj.json"
+    traj.write_text(json.dumps({
+        "times": [0.0, 0.5, 1.0],
+        "positions": [[2.0, 0.0, 1.0], [2.5, 0.0, 1.5], [3.0, 0.0, 2.0]],
+        "yaws_deg": [0.0, 20.0, 45.0]}))
+    out = tmp / "walked.wav"
+    assert cli.main([str(cfg), "main", str(out), "--duration", "1.0",
+                     "--trajectory", str(traj)]) == 0
+    audio = wav_io.read_wav(out)
+    assert audio.n_frames == 8000
+    assert np.isfinite(audio.samples).all()
