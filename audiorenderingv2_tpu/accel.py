@@ -65,6 +65,7 @@ class ClusterData:
     hi_x: np.ndarray
     hi_y: np.ndarray
     hi_z: np.ndarray
+    cluster_size: int = CLUSTER_SIZE
 
     @property
     def n_clusters(self) -> int:
@@ -112,15 +113,22 @@ def sort_scene_for_clusters(scene: Scene, big_frac: float = 0.25) -> Scene:
     return out
 
 
-def prepare_scene(scene: Scene, min_triangles: int = 512):
+def prepare_scene(scene: Scene, min_triangles: int = 512,
+                  cluster_size: int = CLUSTER_SIZE):
     """Morton-sort + cluster a scene when it is big enough to benefit.
+
+    ``cluster_size``: triangles per cluster AABB (multiple of 16; the r3
+    culling study measured tested-triangles per ray-bounce on the office
+    scene dropping 2934 -> 2098 -> 1551 for 128 -> 64 -> 32 with dir72
+    compaction keys — smaller clusters mean tighter boxes and finer
+    skipping, at the cost of more candidate ids per tile).
 
     Returns (scene, ClusterData-or-None); pass both to
     ``scene_to_arrays(scene, clusters=...)``."""
     if scene.n_triangles < min_triangles:
         return scene, None
     sorted_scene = sort_scene_for_clusters(scene)
-    return sorted_scene, build_clusters(sorted_scene)
+    return sorted_scene, build_clusters(sorted_scene, cluster_size)
 
 
 def build_clusters(scene: Scene, cluster_size: int = CLUSTER_SIZE) -> ClusterData:
@@ -143,4 +151,5 @@ def build_clusters(scene: Scene, cluster_size: int = CLUSTER_SIZE) -> ClusterDat
     return ClusterData(
         lo_x=lo[:, 0], lo_y=lo[:, 1], lo_z=lo[:, 2],
         hi_x=hi[:, 0], hi_y=hi[:, 1], hi_z=hi[:, 2],
+        cluster_size=cluster_size,
     )

@@ -121,6 +121,12 @@ class TracerOptions:
                                  # rows, else group/MXU) | "rows" (VPU
                                  # tri16 blocks, no MXU — best for small
                                  # scenes) | "group" (MXU dots)
+    pallas_schedule: bool = False  # clustered scenes: per-round XLA-side
+                                 # candidate lists (tile_schedule) instead
+                                 # of the in-kernel while-loop traversal
+    pallas_key_layout: str = "cell"  # compaction keys: "cell" (legacy) |
+                                 # "dir72" (direction-major, Morton cells
+                                 # — best measured culling)
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
@@ -147,7 +153,8 @@ def scene_to_arrays(scene, tri_chunk: int = 2048,
     absorb = scene.absorption if absorption is None else absorption
     boxes = None
     if clusters is not None:
-        n_clus = t_pad // 128
+        cs = getattr(clusters, "cluster_size", 128)
+        n_clus = t_pad // cs
         b = np.zeros((n_clus, 8), np.float32)
         m = min(clusters.n_clusters, n_clus)
         for j, col in enumerate((clusters.lo_x, clusters.lo_y, clusters.lo_z,
@@ -526,6 +533,8 @@ def trace_ir(
             sort_interval=opts.pallas_sort_interval,
             round_budgets=opts.pallas_round_budgets,
             dynamic_grid=opts.pallas_dynamic_grid,
+            schedule_mode=opts.pallas_schedule,
+            key_layout=opts.pallas_key_layout,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
                                     opts.soft_binning,
@@ -612,6 +621,8 @@ def render_ir(
             sort_interval=opts.pallas_sort_interval,
             round_budgets=opts.pallas_round_budgets,
             dynamic_grid=opts.pallas_dynamic_grid,
+            schedule_mode=opts.pallas_schedule,
+            key_layout=opts.pallas_key_layout,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear,
                                     params, opts.soft_binning,

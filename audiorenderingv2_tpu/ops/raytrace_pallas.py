@@ -277,30 +277,43 @@ def _trace_round_kernel(scal_ref, tris_ref, state_ref, out_ref,
                                       jnp.float32)
 
 
+def _morton_interleave(cell: jax.Array, bits: int) -> jax.Array:
+    """Interleave [N, 3] int32 per-axis cell coordinates into Morton codes
+    (3*bits bits), so key-adjacent cells are spatially adjacent."""
+    code = jnp.zeros(cell.shape[:1], jnp.int32)
+    for b in range(bits):
+        for ax in range(3):
+            code = code | (((cell[:, ax] >> b) & 1) << (3 * b + ax))
+    return code
+
+
 def _compaction_keys(state: jax.Array, coherent: bool,
-                     cell_bits: int = 3, dir_split: bool = False) -> jax.Array:
+                     cell_bits: int = 3, dir_split: bool = False,
+                     key_layout: str = "cell") -> jax.Array:
     """int32 sort keys for between-round compaction.
 
     Plain mode: done flag (alive rays first). Coherent mode (cluster-culled
-    scenes): alive rays additionally grouped by a coarse position cell and
-    direction octant, so rays landing in a tile tend to reach the same
-    clusters and the per-tile slab test actually skips work.
+    scenes): alive rays additionally grouped by position cell and direction
+    bin, so rays landing in a tile tend to reach the same clusters and the
+    per-tile culling actually skips work.
 
-    ``cell_bits``: per-axis position grid resolution (3 -> 8^3 cells,
-    4 -> 16^3). ``dir_split``: additionally split each octant by dominant
-    direction axis (x3 bins) — tighter direction cones per tile. Finer keys
-    shrink the cluster set a tile can reach (fewer front-to-back visits per
-    bounce) at the cost of the tail tiles being less full; the sort itself
-    costs the same. Keys are int32 (exact to 2^31); cell_bits <= 8 keeps the
-    full range (done flag x cells x direction bins) in int32."""
+    ``key_layout``:
+      * ``"cell"`` (legacy): row-major cell code major, direction bin minor.
+        ``cell_bits`` per-axis grid (3 -> 8^3), ``dir_split`` splits octants
+        by dominant axis (24 bins).
+      * ``"dir72"``: direction-major — 72 direction bins (octant x dominant
+        axis x second axis) in the HIGH bits, Morton-interleaved cell code
+        in the low bits. Measured on the 20k-tri office mid-render
+        population: mean slab-hit clusters per 128-ray tile drops 2934 ->
+        2098 -> 1551 tests/ray-bounce at cluster sizes 128/64/32 vs 3419
+        for the legacy 3:1 keys (docs/ROUND3.md culling study). Direction
+        coherence bounds the frustum better than position at ~1M rays.
+
+    Keys are int32 (exact to 2^31); the layout's full range (done flag x
+    cells x direction bins) is validated eagerly."""
     done = state[:, _C_DONE].astype(jnp.int32)
     if not coherent:
         return done
-    n_dir_max = 24 if dir_split else 8
-    if 2 * (1 << (3 * cell_bits)) * n_dir_max > 1 << 31:
-        raise ValueError(
-            f"cell_bits={cell_bits} with dir_split={dir_split} pushes the "
-            f"compaction key range past int32. Use cell_bits <= 8.")
     res = 1 << cell_bits
     p = state[:, _C_PX:_C_PZ + 1]
     v = state[:, _C_VX:_C_VZ + 1]
@@ -308,12 +321,34 @@ def _compaction_keys(state: jax.Array, coherent: bool,
     pmax = jnp.max(p, axis=0)
     cell = jnp.clip(((p - pmin) / jnp.maximum(pmax - pmin, 1e-6)
                      * (res - 0.001)).astype(jnp.int32), 0, res - 1)
-    code = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
     octant = ((v[:, 0] > 0).astype(jnp.int32) * 4
               + (v[:, 1] > 0).astype(jnp.int32) * 2
               + (v[:, 2] > 0).astype(jnp.int32))
+    av = jnp.abs(v)
+    if key_layout == "dir72":
+        if 2 * 72 * (1 << (3 * cell_bits)) > 1 << 31:
+            raise ValueError(
+                f"cell_bits={cell_bits} with dir72 keys overflows int32; "
+                f"use cell_bits <= 7")
+        code = _morton_interleave(cell, cell_bits)
+        a0 = jnp.where((av[:, 0] >= av[:, 1]) & (av[:, 0] >= av[:, 2]), 0,
+                       jnp.where(av[:, 1] >= av[:, 2], 1, 2))
+        iota3 = jnp.arange(3, dtype=jnp.int32)
+        av2 = jnp.where(iota3[None, :] == a0[:, None], -jnp.inf, av)
+        a1 = jnp.where((av2[:, 0] >= av2[:, 1]) & (av2[:, 0] >= av2[:, 2]),
+                       0, jnp.where(av2[:, 1] >= av2[:, 2], 1, 2))
+        dirbin = (octant * 9 + a0 * 3 + a1).astype(jnp.int32)
+        return done * (72 * res ** 3) + dirbin * res ** 3 + code
+    if key_layout != "cell":
+        raise ValueError(f"key_layout must be 'cell' or 'dir72', "
+                         f"got {key_layout!r}")
+    n_dir_max = 24 if dir_split else 8
+    if 2 * (1 << (3 * cell_bits)) * n_dir_max > 1 << 31:
+        raise ValueError(
+            f"cell_bits={cell_bits} with dir_split={dir_split} pushes the "
+            f"compaction key range past int32. Use cell_bits <= 8.")
+    code = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
     if dir_split:
-        av = jnp.abs(v)
         axis = jnp.where(
             (av[:, 0] >= av[:, 1]) & (av[:, 0] >= av[:, 2]), 0,
             jnp.where(av[:, 1] >= av[:, 2], 1, 2))
@@ -420,7 +455,8 @@ def trace_round(state, tris_packed, scal, params: TraceParams,
     static_argnames=("params", "rays_per_tile", "n_total_rays", "interpret",
                      "compact", "version", "n_rays", "precision",
                      "cell_bits", "dir_split", "return_depth", "sort_mode",
-                     "sort_interval", "round_budgets", "dynamic_grid"))
+                     "sort_interval", "round_budgets", "dynamic_grid",
+                     "schedule_mode", "key_layout"))
 def trace_events_pallas(
     tris_packed,
     directions: jax.Array | None,
@@ -443,6 +479,8 @@ def trace_events_pallas(
     sort_interval: int = 1,
     round_budgets: tuple | None = None,
     dynamic_grid: bool = False,
+    schedule_mode: bool = False,
+    key_layout: str = "cell",
 ):
     """Trace rays with the fused kernel in compacting rounds.
 
@@ -472,6 +510,13 @@ def trace_events_pallas(
         (rays are alive-first after compaction, so tiles past
         ceil(alive/128) are all-done and can be skipped entirely — their
         state rides through the aliased buffer untouched).
+      schedule_mode: clustered scenes only — compute each round's per-tile
+        candidate cluster lists in XLA (``tile_schedule``) and run the
+        kernel as a plain loop over them instead of the in-kernel
+        slab + front-to-back while-loop traversal. Requires 1-bounce
+        rounds (enforced).
+      key_layout: compaction sort key layout ("cell" legacy /
+        "dir72" direction-major; see :func:`_compaction_keys`).
     Returns (ev_bin_f [N], ev_w [N], ev_ear [N]) event slots (length n_pad;
     padding rays carry zero weight), plus depth [N] when ``return_depth``.
     """
@@ -535,7 +580,8 @@ def trace_events_pallas(
         def coherent_tiles(tiles):
             st = v2.from_tiles(tiles)
             st = _sort_state_by_keys(st, _compaction_keys(
-                st, True, cell_bits=cell_bits, dir_split=dir_split),
+                st, True, cell_bits=cell_bits, dir_split=dir_split,
+                key_layout=key_layout),
                 mode=sort_mode)
             return v2.to_tiles(st)
 
@@ -556,10 +602,21 @@ def trace_events_pallas(
                             .astype(jnp.int32))
             return jnp.clip((alive + _LANES - 1) // _LANES, 1, n_tiles_total)
 
+        if schedule_mode:
+            if boxes is None:
+                raise ValueError("schedule_mode needs a clustered scene")
+            if any(b != 1 for b in budgets):
+                raise ValueError(
+                    f"schedule_mode requires 1-bounce rounds (budgets "
+                    f"{budgets}); positions move after a bounce, staling "
+                    f"the schedule")
+
         if len(budgets) == 1:
+            sched1 = (v2.tile_schedule(tiles, boxes) if schedule_mode
+                      else None)
             tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
                                       params, budgets[0], interpret,
-                                      precision)
+                                      precision, sched=sched1)
         else:
             # ONE scan body for ANY schedule: the round budget rides in the
             # scalar row (v2._S_BUDGET), so the kernel — and the compaction
@@ -573,10 +630,13 @@ def trace_events_pallas(
             def body(carry, xb):
                 tiles, n_act = carry
                 i, b = xb
+                sched = (v2.tile_schedule(tiles, boxes) if schedule_mode
+                         else None)
                 tiles = v2.trace_round_v2(
                     tiles, coeffs, attrs, boxes, scal, params, b, interpret,
                     precision,
-                    n_active_tiles=n_act if dynamic_grid else None)
+                    n_active_tiles=n_act if dynamic_grid else None,
+                    sched=sched)
                 if compact:
                     not_last = i < n_rounds - 1
                     if boxes is not None and sort_interval > 1:

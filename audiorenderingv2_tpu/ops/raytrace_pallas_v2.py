@@ -181,13 +181,18 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1, layout: str = "auto"):
                 attrs = attrs[:keep * _GROUP]
         return coeffs, attrs, None
 
-    # Cluster/rows layout: triangles in SUBLANES — [C*128, _NR] rows, one
-    # row per triangle, lanes = (plane, bary-u, bary-v, normal, valid,
-    # absorption bands). The kernel's per-visit intersection slices 16-row
-    # sub-blocks and broadcasts their [16, 1] columns against the tile's
-    # [1, 128] ray rows (pure exact-f32 VPU; no MXU, no transposes).
-    if boxes is not None and t % 128:
-        raise ValueError(f"clustered scene: {t} tris not a multiple of 128")
+    # Cluster/rows layout: triangles in SUBLANES — [C*cs, _NR] rows, one
+    # row per triangle (cs = cluster size, from accel.build_clusters),
+    # lanes = (plane, bary-u, bary-v, normal, valid, absorption bands).
+    # The kernel's per-visit intersection slices 16-row sub-blocks and
+    # broadcasts their [16, 1] columns against the tile's [1, 128] ray
+    # rows (pure exact-f32 VPU; no MXU, no transposes).
+    if boxes is not None:
+        cs = t // boxes.shape[0]
+        if cs * boxes.shape[0] != t or cs % _TRI_CHUNK:
+            raise ValueError(
+                f"clustered scene: {t} tris over {boxes.shape[0]} clusters "
+                f"needs a cluster size that is a multiple of {_TRI_CHUNK}")
     pad_rows = [zeros] * (_NR - 16 - n_bands)
     rows = jnp.stack([
         sc.plane_n[:, 0], sc.plane_n[:, 1], sc.plane_n[:, 2], sc.plane_d,
@@ -207,9 +212,9 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1, layout: str = "auto"):
                              f"multiple of {_TRI_CHUNK}")
         return rows, None, None
     if n_valid is not None:
-        keep_c = max(1, -(-n_valid // 128))
+        keep_c = max(1, -(-n_valid // cs))
         if keep_c < boxes.shape[0]:
-            rows = rows[:keep_c * 128]
+            rows = rows[:keep_c * cs]
             boxes = boxes[:keep_c]
     return rows, None, boxes
 
@@ -288,15 +293,22 @@ def _band_cols(n_bands: int):
 
 
 def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
-                           state_ref, out_ref, scr_f_ref, scr_i_ref, *,
+                           *rest_refs,
                            n_groups: int,
                            max_bounces: int,
                            n_clusters: int,
                            use_cull: bool, n_bands: int,
                            n_blocks: int = 0,
+                           cluster_size: int = 128,
+                           use_sched: bool = False,
                            precision: str = "highest",
                            count_visits: bool = False,
                            diag: str = "full"):
+    if use_sched:
+        sched_ref, state_ref, out_ref, scr_f_ref, scr_i_ref = rest_refs
+    else:
+        sched_ref = None
+        state_ref, out_ref, scr_f_ref, scr_i_ref = rest_refs
     s = lambda j: scal_ref[0, j]
     # Runtime bounce budget for this round (scalar slot, not a compile-time
     # constant): every round of a schedule — and every schedule — shares one
@@ -446,11 +458,44 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                           for b in range(n_bands)),
                     jnp.where(better, wid, btri))
 
+        def cluster_intersect(c, best):
+            # Whole-cluster intersection, 16 triangles at a time
+            # (tri16 above). [16, 128] working arrays keep the live
+            # register set ~20 registers; MXU dots at this K=8 grain
+            # measured ~1 s per bf16 pass-set on the 20k-tri workload.
+            tri0 = pl.multiple_of(c * cluster_size, 8)
+            trn = coeff_ref[pl.ds(tri0, cluster_size), :]  # [cs, _NR]
+            for j in range(cluster_size // _TRI_CHUNK):
+                best = tri16(trn[j * _TRI_CHUNK:(j + 1) * _TRI_CHUNK, :],
+                             c * cluster_size + j * _TRI_CHUNK, best)
+            return best
+
         if use_cull and diag == "notrav":
             # Diagnostic: skip slab + traversal + intersection entirely
             # (physically wrong: every ray misses). Times the per-round
             # fixed machinery (state IO, receiver, bounce tail, loop sync).
             best_t, bnx, bny, bnz, bab, btri = best0
+        elif use_cull and use_sched:
+            # Schedule mode: the per-tile candidate cluster list was
+            # computed OUTSIDE the kernel this round (tile_schedule —
+            # exact per-ray slab tests in plain XLA) and rides in as an
+            # SMEM row: slot 0 = count, slots 1.. = cluster ids in
+            # front-to-back entry order. The kernel is a straight
+            # fori_loop over scalar ids — no slab pass, no while_loop, no
+            # per-visit argmin, and crucially no vector->scalar SMEM
+            # round-trips (the r3 decomposition measured the while-loop
+            # traversal at 373 of 376 ms/round on the office bench).
+            # Correctness does not depend on visit order or early exit:
+            # the running min over every candidate IS the nearest hit.
+            n_vis = sched_ref[0, 0]
+
+            def sched_visit(k, best):
+                return cluster_intersect(sched_ref[0, k + 1], best)
+
+            best = jax.lax.fori_loop(0, n_vis, sched_visit, best0)
+            best_t, bnx, bny, bnz, bab, btri = best
+            if count_visits:
+                ltri = ltri + jnp.float32(1.0) * n_vis.astype(jnp.float32)
         elif use_cull:
             # Front-to-back cluster traversal — the TPU analog of ordered
             # BVH descent (the reference's OptiX GAS, AudioRenderer.cpp:95-
@@ -516,21 +561,6 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             iota_c = jax.lax.broadcasted_iota(
                 jnp.int32, (1, n_clusters), 1)
 
-            sub16 = jax.lax.broadcasted_iota(
-                jnp.int32, (_TRI_CHUNK, _LANES), 0)
-
-            def cluster_intersect(c, best):
-                # Whole-cluster intersection, 16 triangles at a time
-                # (tri16 above). [16, 128] working arrays keep the live
-                # register set ~20 registers; MXU dots at this K=8 grain
-                # measured ~1 s per bf16 pass-set on the 20k-tri workload.
-                tri0 = pl.multiple_of(c * 128, 8)
-                trn = coeff_ref[pl.ds(tri0, 128), :]           # [128, _NR]
-                for j in range(128 // _TRI_CHUNK):
-                    best = tri16(trn[j * _TRI_CHUNK:(j + 1) * _TRI_CHUNK, :],
-                                 c * 128 + j * _TRI_CHUNK, best)
-                return best
-
             def next_cluster(visited):
                 """Nearest unvisited reachable cluster: (entry, id) scalars
                 extracted through the (1,1) SMEM scratch. entry == inf when
@@ -558,7 +588,13 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
 
             def trav_body(carry):
                 k, tn_k, c_id, visited, best, _ = carry
-                if diag != "sel1":  # sel1: selection cost, empty visit
+                if diag not in ("sel1", "noint"):
+                    # sel1: selection cost, empty visit; noint: the FULL
+                    # while-loop traversal with the intersection skipped
+                    # (isolates selection/SMEM serialization from tri16
+                    # compute; with no hits best_t stays inf so the loop
+                    # visits every slab-hit cluster — exactly the visit
+                    # count the real kernel pays, r3 finding).
                     best = cluster_intersect(c_id, best)
                 visited = jnp.maximum(
                     visited, (iota_c == c_id).astype(jnp.float32))
@@ -697,7 +733,8 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
                    precision: str = "highest",
                    count_visits: bool = False,
                    diag: str = "full",
-                   n_active_tiles: jax.Array | None = None) -> jax.Array:
+                   n_active_tiles: jax.Array | None = None,
+                   sched: jax.Array | None = None) -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
     ``round_budget`` may be a Python int or a traced scalar — it rides in
@@ -717,6 +754,11 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     ``n_active_tiles``: optional traced scalar — run the kernel grid over
     only the first n tiles (rays must be alive-first-compacted; skipped
     tiles keep their state through the aliased buffer).
+    ``sched``: optional int32 [n_tiles, S] per-tile candidate cluster rows
+    from :func:`tile_schedule` (slot 0 count, slots 1.. ids). Replaces the
+    in-kernel slab + front-to-back while-loop with a plain fori_loop over
+    prefetched scalar ids; ONLY valid with round_budget == 1 (positions
+    move after a bounce, staling the schedule).
     """
     if precision not in _PRECISION_NAMES:
         raise ValueError(f"pallas_precision must be one of "
@@ -731,6 +773,10 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     rows_layout = attrs is None
     n_blocks = (coeffs.shape[0] // _TRI_CHUNK
                 if rows_layout and not use_cull else 0)
+    cluster_size = (coeffs.shape[0] // boxes.shape[0]) if use_cull else 128
+    use_sched = sched is not None
+    if use_sched and not use_cull:
+        raise ValueError("sched requires a clustered (boxes) scene")
     if boxes is None:
         boxes = jnp.zeros((1, 8), jnp.float32)
     if attrs is None:  # rows layout: everything lives in coeffs' rows
@@ -740,28 +786,103 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
         _trace_round_kernel_v2, n_groups=t_total // _GROUP,
         max_bounces=params.max_bounces,
         n_clusters=boxes.shape[0], use_cull=use_cull,
-        n_bands=n_bands, n_blocks=n_blocks, precision=precision,
+        n_bands=n_bands, n_blocks=n_blocks, cluster_size=cluster_size,
+        use_sched=use_sched, precision=precision,
         count_visits=count_visits, diag=diag)
     grid = (n_tiles if n_active_tiles is None else n_active_tiles,)
+    in_specs = [
+        pl.BlockSpec((1, v1._NSCAL), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(coeffs.shape, lambda i: (0, 0)),
+        pl.BlockSpec(attrs.shape, lambda i: (0, 0)),
+        pl.BlockSpec(boxes.shape, lambda i: (0, 0)),
+    ]
+    operands = [scal, coeffs, attrs, boxes]
+    state_in_idx = 4
+    if use_sched:
+        # Per-tile candidate row streamed into SMEM each grid step: slot 0
+        # is the candidate count, slots 1.. the cluster ids front-to-back.
+        in_specs.append(pl.BlockSpec((1, sched.shape[1]), lambda i: (i, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(sched)
+        state_in_idx = 5
+    in_specs.append(pl.BlockSpec((1, ncols, 1, _LANES),
+                                 lambda i: (i, 0, 0, 0)))
+    operands.append(state)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, v1._NSCAL), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(coeffs.shape, lambda i: (0, 0)),
-            pl.BlockSpec(attrs.shape, lambda i: (0, 0)),
-            pl.BlockSpec(boxes.shape, lambda i: (0, 0)),
-            pl.BlockSpec((1, ncols, 1, _LANES), lambda i: (i, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, ncols, 1, _LANES),
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        input_output_aliases={4: 0},
+        input_output_aliases={state_in_idx: 0},
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32),
                         pltpu.SMEM((1, 1), jnp.int32)],
         interpret=interpret,
-    )(scal, coeffs, attrs, boxes, state)
+    )(*operands)
+
+
+def tile_schedule(tiles: jax.Array, boxes: jax.Array,
+                  chunk: int = 64) -> jax.Array:
+    """Per-round, per-tile candidate cluster lists, computed in plain XLA.
+
+    For every 128-ray tile: exact per-ray slab tests against every cluster
+    AABB (the same math the legacy in-kernel pass runs,
+    raytrace_pallas_v2.py slab section), reduced to a per-cluster minimum
+    entry distance over the tile's alive rays. Returns int32 [n_tiles, S]
+    rows: slot 0 = number of candidate clusters, slots 1..count = cluster
+    ids sorted by entry distance (front-to-back). The kernel consumes rows
+    via an SMEM block and just loops them — moving candidate SELECTION out
+    of the kernel removes the per-visit vector->scalar SMEM round-trips
+    that dominated the r3 profile (373 of 376 ms/round).
+
+    Cost: n_rays x C slab tests per round — vectorized VPU work with no
+    data-dependent control flow (~12.5 Gflop at 1M rays x 624 clusters),
+    fused by XLA inside a lax.map over ``chunk``-tile blocks so the
+    [tiles, C, 128] intermediates never hit HBM at full size.
+    """
+    n_tiles = tiles.shape[0]
+    C = boxes.shape[0]
+    S = -(-(C + 1) // 8) * 8
+    blo = boxes[:, 0:3]
+    bhi = boxes[:, 3:6]
+    bval = boxes[:, 6] > 0.0
+    eps = jnp.float32(1e-20)
+    inf = jnp.float32(jnp.inf)
+
+    def chunk_rows(tc):
+        k = tc.shape[0]
+        p = tc[:, v1._C_PX:v1._C_PZ + 1, 0, :]        # [k, 3, 128]
+        v = tc[:, v1._C_VX:v1._C_VZ + 1, 0, :]
+        done = tc[:, v1._C_DONE, 0, :]                # [k, 128]
+        inv = 1.0 / jnp.where(jnp.abs(v) > eps, v,
+                              jnp.where(v >= 0, eps, -eps))
+        t1 = (blo.T[None, :, :, None] - p[:, :, None, :]) \
+            * inv[:, :, None, :]                      # [k, 3, C, 128]
+        t2 = (bhi.T[None, :, :, None] - p[:, :, None, :]) \
+            * inv[:, :, None, :]
+        tn = jnp.max(jnp.minimum(t1, t2), axis=1)     # [k, C, 128]
+        tf = jnp.min(jnp.maximum(t1, t2), axis=1)
+        entry = jnp.maximum(tn, 0.0)
+        ok = ((tf >= entry) & bval[None, :, None]
+              & (done[:, None, :] == 0.0))
+        entry_c = jnp.min(jnp.where(ok, entry, inf), axis=2)   # [k, C]
+        order = jnp.argsort(entry_c, axis=1).astype(jnp.int32)
+        count = jnp.sum(jnp.isfinite(entry_c), axis=1,
+                        dtype=jnp.int32)
+        pad = jnp.zeros((k, S - C - 1), jnp.int32)
+        return jnp.concatenate([count[:, None], order, pad], axis=1)
+
+    n_pad_tiles = -(-n_tiles // chunk) * chunk
+    if n_pad_tiles != n_tiles:
+        filler = jnp.ones((n_pad_tiles - n_tiles,) + tiles.shape[1:],
+                          tiles.dtype)  # done=1 everywhere -> count 0
+        tiles = jnp.concatenate([tiles, filler], axis=0)
+    rows = jax.lax.map(chunk_rows,
+                       tiles.reshape(n_pad_tiles // chunk, chunk,
+                                     *tiles.shape[1:]))
+    return rows.reshape(n_pad_tiles, S)[:n_tiles]
 
 
 def to_tiles(state: jax.Array) -> jax.Array:

@@ -169,3 +169,84 @@ def test_clustered_sort_modes(sort_mode, interval):
                                params, xla_opts()))
     assert a.sum() > 0
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+
+
+@pytest.mark.parametrize("cs,keys", [(128, "cell"), (32, "dir72"),
+                                     (64, "dir72")])
+def test_schedule_mode_matches_xla(cs, keys):
+    """Schedule-mode clustered path (XLA-side per-round candidate lists,
+    kernel loops prefetched ids — no in-kernel traversal) == XLA tracer,
+    across cluster sizes and compaction key layouts."""
+    from audiorenderingv2_tpu import accel
+
+    v, t = testing.icosphere(radius=6.0, subdivisions=3)  # 1280 tris
+    scene = testing.scene_from_arrays(v, t, 0.2)
+    sorted_scene, clusters = accel.prepare_scene(scene, cluster_size=cs)
+    assert clusters is not None
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(21), 256)
+    rec = jnp.array([1.5, 0.5, -1.0], jnp.float32)
+    opts = pallas_opts(2, pallas_schedule=True, pallas_key_layout=keys)
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 10.0, params,
+                               opts))
+    sc_plain = ar.scene_to_arrays(scene, 128)
+    b = np.asarray(ar.trace_ir(sc_plain, dirs, jnp.zeros(3), rec, 10.0,
+                               params, xla_opts()))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+
+
+def test_tile_schedule_matches_kernel_slab():
+    """tile_schedule's candidate sets equal a direct numpy slab test on the
+    same state (the kernel's in-kernel pass is the same math)."""
+    from audiorenderingv2_tpu import accel
+    from audiorenderingv2_tpu.ops import raytrace_pallas as rp
+    from audiorenderingv2_tpu.ops import raytrace_pallas_v2 as rp2
+
+    v, t = testing.icosphere(radius=5.0, subdivisions=3)
+    scene = testing.scene_from_arrays(v, t, 0.25)
+    sorted_scene, clusters = accel.prepare_scene(scene, cluster_size=32)
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    boxes = sc.cluster_boxes
+    n = 512
+    dirs = sampling.sample_directions(jax.random.PRNGKey(5), n)
+    st = rp.init_state(jnp.asarray(dirs), jnp.array([0.5, -0.2, 0.1]),
+                       1e-6, n, ncols=rp2.state_ncols(1))
+    # mark a few rays done: they must not contribute candidates
+    st = st.at[: n // 4, rp._C_DONE].set(1.0)
+    sched = np.asarray(rp2.tile_schedule(rp2.to_tiles(st), boxes))
+    bx = np.asarray(boxes)
+    P = np.asarray(st[:, rp._C_PX:rp._C_PZ + 1]).reshape(-1, 128, 3)
+    V = np.asarray(st[:, rp._C_VX:rp._C_VZ + 1]).reshape(-1, 128, 3)
+    D = np.asarray(st[:, rp._C_DONE]).reshape(-1, 128)
+    for i in range(P.shape[0]):
+        inv = 1.0 / np.where(np.abs(V[i]) > 1e-20, V[i],
+                             np.where(V[i] >= 0, 1e-20, -1e-20))
+        t1 = (bx[None, :, 0:3] - P[i][:, None]) * inv[:, None]
+        t2 = (bx[None, :, 3:6] - P[i][:, None]) * inv[:, None]
+        tn = np.minimum(t1, t2).max(-1)
+        tf = np.maximum(t1, t2).min(-1)
+        entry = np.maximum(tn, 0.0)
+        ok = (tf >= entry) & (bx[None, :, 6] > 0) & (D[i][:, None] == 0)
+        expect = set(np.where(ok.any(0))[0])
+        count = sched[i, 0]
+        got = set(sched[i, 1:1 + count].tolist())
+        assert got == expect, (i, got, expect)
+
+
+def test_schedule_mode_requires_single_bounce_rounds():
+    from audiorenderingv2_tpu import accel
+
+    v, t = testing.icosphere(radius=5.0, subdivisions=3)
+    scene = testing.scene_from_arrays(v, t, 0.25)
+    sorted_scene, clusters = accel.prepare_scene(scene)
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=4)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(7), 128)
+    with pytest.raises(ValueError, match="1-bounce"):
+        ar.trace_ir(sc, dirs, jnp.zeros(3), jnp.ones(3), 0.0, params,
+                    pallas_opts(2, pallas_schedule=True,
+                                pallas_round_budgets=(2, 2)))
