@@ -367,8 +367,10 @@ def _partition_alive_first(state: jax.Array) -> jax.Array:
     The key is a single bit, so a full sort is overkill: two cumsums give
     each ray its destination slot, a 1-element-per-ray scatter of iota turns
     that inverse permutation into a forward one, and a row gather applies it.
-    Measured ~0.1 ms at 1M x 16 on v5e vs ~2.5-60 ms for stable argsort +
-    gather (and a searchsorted variant measured 3x worse than argsort).
+    r3 NOTE: re-measured at 35 ms per call at 1M x 16 on the v5e (the
+    XLA:TPU scatter lowering is the cost — benchmarks/profile_small.py
+    "partition" stage); the 2-operand gather sort is the faster path at
+    this shape and the small-scene bench config uses it.
     """
     n = state.shape[0]
     alive = (state[:, _C_DONE] == 0.0).astype(jnp.int32)
@@ -406,8 +408,9 @@ def _round_schedule(max_bounces: int, first: int = 6,
 
     Early rounds are short (most rays die fast — escape or reach the
     receiver); later rounds are long but run on the compacted survivors.
-    Compaction is a cumsum partition + gather (~0.1 ms at 1M rays on v5e,
-    see :func:`_partition_alive_first`), cheap enough for doubling rounds;
+    Compaction costs ~35 ms at 1M rays on v5e (profile_small.py r3) —
+    NOT negligible; the schedule trades fewer rounds against straggler
+    lockstep depth;
     the final round absorbs a sub-geometric remainder so a tiny tail round
     never pays a full grid sweep: 100 bounces -> [6, 12, 24, 58]."""
     budgets = []

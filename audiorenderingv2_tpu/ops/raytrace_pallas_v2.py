@@ -301,6 +301,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                            n_blocks: int = 0,
                            cluster_size: int = 128,
                            use_sched: bool = False,
+                           single_bounce: bool = False,
                            precision: str = "highest",
                            count_visits: bool = False,
                            diag: str = "full"):
@@ -701,8 +702,17 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
         return (i + 1, px, py, pz, vx, vy, vz, dist, energy, depth, done,
                 ev_bin, ev_w, ev_ear, ltri, recvd)
 
+    if single_bounce:
+        # Budget-1 rounds (every clustered round): the bounce body runs
+        # straight-line, no while_loop — the body is already a no-op for
+        # done rays (every update is alive/surface/receiver-masked), and
+        # Mosaic compiles loop-free kernels dramatically faster through
+        # the remote tunnel.
+        out = body(init)
+    else:
+        out = jax.lax.while_loop(cond, body, init)
     (_, px, py, pz, vx, vy, vz, dist, energy, depth, done,
-     ev_bin, ev_w, ev_ear, ltri, recvd) = jax.lax.while_loop(cond, body, init)
+     ev_bin, ev_w, ev_ear, ltri, recvd) = out
 
     ncols = state_ncols(n_bands)
     writes = {C._C_PX: px, C._C_PY: py, C._C_PZ: pz,
@@ -787,7 +797,7 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
         max_bounces=params.max_bounces,
         n_clusters=boxes.shape[0], use_cull=use_cull,
         n_bands=n_bands, n_blocks=n_blocks, cluster_size=cluster_size,
-        use_sched=use_sched, precision=precision,
+        use_sched=use_sched, single_bounce=use_sched, precision=precision,
         count_visits=count_visits, diag=diag)
     grid = (n_tiles if n_active_tiles is None else n_active_tiles,)
     in_specs = [

@@ -72,7 +72,9 @@ def main():
               flush=True)
         return dt
 
-    variant("A production (coherent 1-bounce rounds)")
+    variant("A legacy traversal (coherent 1-bounce rounds)")
+    variant("S schedule mode cs128", pallas_schedule=True,
+            pallas_key_layout="dir72")
     variant("C single-round no-compact", pallas_compact=False)
 
     # D: sort cost alone
