@@ -127,6 +127,10 @@ class TracerOptions:
     pallas_key_layout: str = "cell"  # compaction keys: "cell" (legacy) |
                                  # "dir72" (direction-major, Morton cells
                                  # — best measured culling)
+    pallas_unroll: int = 1       # bounce bodies per while-loop iteration:
+                                 # the all-dead exit check is a
+                                 # vector->scalar stall; checking every k
+                                 # bounces trades masked no-op work for it
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
@@ -535,6 +539,7 @@ def trace_ir(
             dynamic_grid=opts.pallas_dynamic_grid,
             schedule_mode=opts.pallas_schedule,
             key_layout=opts.pallas_key_layout,
+            unroll=opts.pallas_unroll,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
                                     opts.soft_binning,
@@ -623,6 +628,7 @@ def render_ir(
             dynamic_grid=opts.pallas_dynamic_grid,
             schedule_mode=opts.pallas_schedule,
             key_layout=opts.pallas_key_layout,
+            unroll=opts.pallas_unroll,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear,
                                     params, opts.soft_binning,

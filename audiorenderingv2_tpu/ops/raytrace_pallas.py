@@ -459,7 +459,7 @@ def trace_round(state, tris_packed, scal, params: TraceParams,
                      "compact", "version", "n_rays", "precision",
                      "cell_bits", "dir_split", "return_depth", "sort_mode",
                      "sort_interval", "round_budgets", "dynamic_grid",
-                     "schedule_mode", "key_layout"))
+                     "schedule_mode", "key_layout", "unroll"))
 def trace_events_pallas(
     tris_packed,
     directions: jax.Array | None,
@@ -484,6 +484,7 @@ def trace_events_pallas(
     dynamic_grid: bool = False,
     schedule_mode: bool = False,
     key_layout: str = "cell",
+    unroll: int = 1,
 ):
     """Trace rays with the fused kernel in compacting rounds.
 
@@ -619,7 +620,8 @@ def trace_events_pallas(
                       else None)
             tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
                                       params, budgets[0], interpret,
-                                      precision, sched=sched1)
+                                      precision, sched=sched1,
+                                      unroll=unroll)
         else:
             # ONE scan body for ANY schedule: the round budget rides in the
             # scalar row (v2._S_BUDGET), so the kernel — and the compaction
@@ -639,7 +641,7 @@ def trace_events_pallas(
                     tiles, coeffs, attrs, boxes, scal, params, b, interpret,
                     precision,
                     n_active_tiles=n_act if dynamic_grid else None,
-                    sched=sched)
+                    sched=sched, unroll=unroll)
                 if compact:
                     not_last = i < n_rounds - 1
                     if boxes is not None and sort_interval > 1:

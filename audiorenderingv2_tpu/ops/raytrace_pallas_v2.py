@@ -302,6 +302,7 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                            cluster_size: int = 128,
                            use_sched: bool = False,
                            single_bounce: bool = False,
+                           unroll: int = 1,
                            precision: str = "highest",
                            count_visits: bool = False,
                            diag: str = "full"):
@@ -488,10 +489,10 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             # traversal at 373 of 376 ms/round on the office bench).
             # Correctness does not depend on visit order or early exit:
             # the running min over every candidate IS the nearest hit.
-            n_vis = sched_ref[0, 0]
+            n_vis = sched_ref[0, 0, 0]
 
             def sched_visit(k, best):
-                return cluster_intersect(sched_ref[0, k + 1], best)
+                return cluster_intersect(sched_ref[0, 0, k + 1], best)
 
             best = jax.lax.fori_loop(0, n_vis, sched_visit, best0)
             best_t, bnx, bny, bnz, bab, btri = best
@@ -710,7 +711,19 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
         # the remote tunnel.
         out = body(init)
     else:
-        out = jax.lax.while_loop(cond, body, init)
+        if unroll > 1:
+            # Check the all-dead exit (a vector->scalar crossing that
+            # stalls the pipeline) every `unroll` bounces instead of every
+            # bounce; intermediate bodies are no-ops for finished rays, so
+            # overshooting a budget that is not an unroll multiple only
+            # costs masked work (depth/can_continue still cap physics).
+            def body_u(carry):
+                for _ in range(unroll):
+                    carry = body(carry)
+                return carry
+        else:
+            body_u = body
+        out = jax.lax.while_loop(cond, body_u, init)
     (_, px, py, pz, vx, vy, vz, dist, energy, depth, done,
      ev_bin, ev_w, ev_ear, ltri, recvd) = out
 
@@ -744,7 +757,9 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
                    count_visits: bool = False,
                    diag: str = "full",
                    n_active_tiles: jax.Array | None = None,
-                   sched: jax.Array | None = None) -> jax.Array:
+                   sched: jax.Array | None = None,
+                   single_bounce: bool | None = None,
+                   unroll: int = 1) -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
     ``round_budget`` may be a Python int or a traced scalar — it rides in
@@ -797,7 +812,9 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
         max_bounces=params.max_bounces,
         n_clusters=boxes.shape[0], use_cull=use_cull,
         n_bands=n_bands, n_blocks=n_blocks, cluster_size=cluster_size,
-        use_sched=use_sched, single_bounce=use_sched, precision=precision,
+        use_sched=use_sched,
+        single_bounce=use_sched if single_bounce is None else single_bounce,
+        unroll=unroll, precision=precision,
         count_visits=count_visits, diag=diag)
     grid = (n_tiles if n_active_tiles is None else n_active_tiles,)
     in_specs = [
@@ -812,9 +829,12 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     if use_sched:
         # Per-tile candidate row streamed into SMEM each grid step: slot 0
         # is the candidate count, slots 1.. the cluster ids front-to-back.
-        in_specs.append(pl.BlockSpec((1, sched.shape[1]), lambda i: (i, 0),
+        # The row rides as [n_tiles, 1, S] so the block's trailing two dims
+        # (1, S) equal the array dims (Mosaic's block-shape rule).
+        in_specs.append(pl.BlockSpec((1, 1, sched.shape[-1]),
+                                     lambda i: (i, 0, 0),
                                      memory_space=pltpu.SMEM))
-        operands.append(sched)
+        operands.append(sched.reshape(sched.shape[0], 1, sched.shape[-1]))
         state_in_idx = 5
     in_specs.append(pl.BlockSpec((1, ncols, 1, _LANES),
                                  lambda i: (i, 0, 0, 0)))

@@ -149,22 +149,27 @@ def main():
 
             lscene = office_scene(int(os.environ.get("AR2_BENCH_LARGE_TRIS",
                                                      20000)))
-            sorted_scene, clusters = accel.prepare_scene(lscene)
+            lcs = int(os.environ.get("AR2_BENCH_CLUSTER_SIZE", 32))
+            sorted_scene, clusters = accel.prepare_scene(lscene,
+                                                         cluster_size=lcs)
             lsc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
             lparams = ar.TraceParams(
                 sample_rate=16000, ir_length=32000, base_power=3.62,
                 max_bounces=32, energy_threshold=0.0,
                 hrtf_absorption_rate=0.9)
-            # Tuned-best clustered config (benchmarks/tune_large.py): 8^3
-            # position cells x 24 direction bins. pallas_precision is
-            # irrelevant here — the clustered path's VPU intersection
-            # ignores it (see TracerOptions).
+            # r3 tuned-best clustered config: schedule-mode tracing
+            # (XLA-side per-round candidate lists), 32-triangle clusters,
+            # direction-major dir72 compaction keys (docs/ROUND3.md).
+            # Legacy traversal remains reachable via AR2_BENCH_SCHEDULE=0.
             lopts = ar.TracerOptions(
                 backend="pallas", pallas_version=2,
+                pallas_schedule=os.environ.get("AR2_BENCH_SCHEDULE",
+                                               "1") == "1",
+                pallas_key_layout=os.environ.get("AR2_BENCH_KEYS", "dir72"),
                 pallas_cell_bits=int(os.environ.get("AR2_BENCH_CELL_BITS",
-                                                    3)),
+                                                    5)),
                 pallas_dir_split=os.environ.get("AR2_BENCH_DIR_SPLIT",
-                                                "1") == "1")
+                                                "0") == "1")
 
             @jax.jit
             def render_large(k):
@@ -184,12 +189,14 @@ def main():
                     render_large(jax.random.fold_in(key, 100 + i)))
                 lt.append(time.time() - t0)
             l_render = float(np.median(lt))
-            # Clustered-path useful work: each completed bounce intersects
-            # ~visits x 128 triangles (visits/tile-bounce measured by
-            # benchmarks/count_visits.py; 0.81 for the 8^3 x 24dir keys).
+            # Clustered-path useful work: tested triangles per ray-bounce =
+            # mean candidate clusters per tile x cluster size (measured
+            # 48.4 x 32 = 1551 for the schedule-mode cs32 dir72 config on
+            # the mid-render population; benchmarks/culling_study.py).
             l_bounces = np.asarray(lstats["bounces"])[:n_rays]
-            visits = float(os.environ.get("AR2_BENCH_VISITS", 0.81))
-            l_tests = (float(l_bounces.sum()) + n_rays) * visits * 128
+            tests_per_bounce = float(os.environ.get(
+                "AR2_BENCH_TESTS_PER_BOUNCE", 1551.0))
+            l_tests = (float(l_bounces.sum()) + n_rays) * tests_per_bounce
             l_flops_per_s = l_tests * FLOPS_PER_TEST / l_render
             extras["large_scene"] = {
                 "n_tris": int(lscene.n_triangles),

@@ -250,3 +250,23 @@ def test_schedule_mode_requires_single_bounce_rounds():
         ar.trace_ir(sc, dirs, jnp.zeros(3), jnp.ones(3), 0.0, params,
                     pallas_opts(2, pallas_schedule=True,
                                 pallas_round_budgets=(2, 2)))
+
+
+@pytest.mark.parametrize("unroll", [2, 4])
+def test_unroll_matches_xla(unroll):
+    """Bounce-body unrolling (all-dead check every k bounces) preserves
+    physics exactly: intermediate bodies are no-ops for finished rays."""
+    v, t = testing.box_room((11.0, 7.0, 9.0))
+    scene = testing.scene_from_arrays(v, t, 0.3)
+    sc = ar.scene_to_arrays(scene, 128)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=7)  # not a multiple of unroll
+    dirs = sampling.sample_directions(jax.random.PRNGKey(30), 256)
+    rec = jnp.array([2.0, -0.5, 1.0], jnp.float32)
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 5.0, params,
+                               pallas_opts(2, pallas_layout="rows",
+                                           pallas_unroll=unroll)))
+    b = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 5.0, params,
+                               xla_opts()))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
