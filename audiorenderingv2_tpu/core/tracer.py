@@ -131,6 +131,12 @@ class TracerOptions:
                                  # the all-dead exit check is a
                                  # vector->scalar stall; checking every k
                                  # bounces trades masked no-op work for it
+    pallas_partition_mode: str = "scatter"  # alive-first partition impl:
+                                 # "scatter" (cumsum + iota scatter +
+                                 # gather) | "rowscatter" (direct row
+                                 # scatter) | "sort" (2-operand stable
+                                 # sort + gather); partition_bench.py
+                                 # measures all three on chip
 
 
 def scene_to_arrays(scene, tri_chunk: int = 2048,
@@ -540,6 +546,7 @@ def trace_ir(
             schedule_mode=opts.pallas_schedule,
             key_layout=opts.pallas_key_layout,
             unroll=opts.pallas_unroll,
+            partition_mode=opts.pallas_partition_mode,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
                                     opts.soft_binning,
@@ -629,6 +636,7 @@ def render_ir(
             schedule_mode=opts.pallas_schedule,
             key_layout=opts.pallas_key_layout,
             unroll=opts.pallas_unroll,
+            partition_mode=opts.pallas_partition_mode,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear,
                                     params, opts.soft_binning,

@@ -361,22 +361,39 @@ def _compaction_keys(state: jax.Array, coherent: bool,
     return done * key_range + code * n_dir + dirbin
 
 
-def _partition_alive_first(state: jax.Array) -> jax.Array:
+def _partition_alive_first(state: jax.Array,
+                           mode: str = "scatter") -> jax.Array:
     """Stable alive-first reorder of the ray state.
 
     The key is a single bit, so a full sort is overkill: two cumsums give
-    each ray its destination slot, a 1-element-per-ray scatter of iota turns
-    that inverse permutation into a forward one, and a row gather applies it.
-    r3 NOTE: re-measured at 35 ms per call at 1M x 16 on the v5e (the
-    XLA:TPU scatter lowering is the cost — benchmarks/profile_small.py
-    "partition" stage); the 2-operand gather sort is the faster path at
-    this shape and the small-scene bench config uses it.
+    each ray its destination slot. Three ways to apply the permutation
+    (benchmarks/partition_bench.py measures all on chip):
+
+      ``"scatter"``  — scatter iota at dest (inverts the permutation), one
+        row gather applies it. r3: 35 ms at 1M x 16 on v5e — the XLA:TPU
+        1-element scatter lowering is the cost.
+      ``"rowscatter"`` — scatter the state rows directly at dest; one pass,
+        no inversion, no gather.
+      ``"sort"``     — stable 2-operand lax.sort on the done bit + iota,
+        then a row gather (same shape as the coherent gather sort).
     """
     n = state.shape[0]
-    alive = (state[:, _C_DONE] == 0.0).astype(jnp.int32)
+    done_col = state[:, _C_DONE]
+    if mode == "sort":
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _, perm = jax.lax.sort([(done_col != 0.0).astype(jnp.int32), iota],
+                               num_keys=1, is_stable=True)
+        return jnp.take(state, perm, axis=0)
+    alive = (done_col == 0.0).astype(jnp.int32)
     ca = jnp.cumsum(alive)
     cd = jnp.cumsum(1 - alive)
     dest = jnp.where(alive > 0, ca - 1, ca[-1] + cd - 1)
+    if mode == "rowscatter":
+        return jnp.zeros_like(state).at[dest].set(
+            state, unique_indices=True, mode="drop")
+    if mode != "scatter":
+        raise ValueError(f"partition mode must be 'scatter', 'rowscatter' "
+                         f"or 'sort', got {mode!r}")
     perm = jnp.zeros((n,), jnp.int32).at[dest].set(
         jnp.arange(n, dtype=jnp.int32), unique_indices=True, mode="drop")
     return jnp.take(state, perm, axis=0)
@@ -459,7 +476,8 @@ def trace_round(state, tris_packed, scal, params: TraceParams,
                      "compact", "version", "n_rays", "precision",
                      "cell_bits", "dir_split", "return_depth", "sort_mode",
                      "sort_interval", "round_budgets", "dynamic_grid",
-                     "schedule_mode", "key_layout", "unroll"))
+                     "schedule_mode", "key_layout", "unroll",
+                     "partition_mode"))
 def trace_events_pallas(
     tris_packed,
     directions: jax.Array | None,
@@ -485,6 +503,7 @@ def trace_events_pallas(
     schedule_mode: bool = False,
     key_layout: str = "cell",
     unroll: int = 1,
+    partition_mode: str = "scatter",
 ):
     """Trace rays with the fused kernel in compacting rounds.
 
@@ -591,7 +610,7 @@ def trace_events_pallas(
 
         def partition_tiles(tiles):
             st = v2.from_tiles(tiles)
-            return v2.to_tiles(_partition_alive_first(st))
+            return v2.to_tiles(_partition_alive_first(st, partition_mode))
 
         compact_tiles = coherent_tiles if boxes is not None \
             else partition_tiles
@@ -679,7 +698,7 @@ def trace_events_pallas(
             state = trace_round(state, tris_packed, scal, params, r, budget,
                                 interpret)
             if compact and k + 1 < len(budgets):
-                state = _partition_alive_first(state)
+                state = _partition_alive_first(state, partition_mode)
 
     # Compaction reorders rays, so all n_pad slots are returned; padding rays
     # carry zero weight and are dropped by the histogram's overflow bucket.

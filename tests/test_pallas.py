@@ -270,3 +270,24 @@ def test_unroll_matches_xla(unroll):
                                xla_opts()))
     assert a.sum() > 0
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+
+
+@pytest.mark.parametrize("mode", ["scatter", "rowscatter", "sort"])
+def test_partition_modes_agree(mode):
+    """All three alive-first partition implementations produce the same
+    stable reorder (raytrace_pallas._partition_alive_first)."""
+    from audiorenderingv2_tpu.ops import raytrace_pallas as rp
+
+    key = jax.random.PRNGKey(7)
+    n = 1024
+    state = jax.random.normal(key, (n, 16), jnp.float32)
+    done = (jax.random.uniform(jax.random.fold_in(key, 1), (n,))
+            < 0.5).astype(jnp.float32)
+    state = state.at[:, rp._C_DONE].set(done)
+    ref = np.asarray(rp._partition_alive_first(state, "scatter"))
+    got = np.asarray(rp._partition_alive_first(state, mode))
+    np.testing.assert_array_equal(got, ref)
+    # alive-first and stable
+    alive = ref[:, rp._C_DONE] == 0.0
+    n_alive = int(alive.sum())
+    assert alive[:n_alive].all() and not alive[n_alive:].any()
