@@ -131,6 +131,11 @@ class TracerOptions:
                                  # the all-dead exit check is a
                                  # vector->scalar stall; checking every k
                                  # bounces trades masked no-op work for it
+    rng_impl: str = "threefry"   # direction-sampling PRNG: "threefry"
+                                 # (jax default, cross-backend
+                                 # bit-reproducible) | "rbg"/"unsafe_rbg"
+                                 # (XLA RngBitGenerator, ~10x faster at
+                                 # 1M keys on v5e; different stream)
     pallas_partition_mode: str = "scatter"  # alive-first partition impl:
                                  # "scatter" (cumsum + iota scatter +
                                  # gather) | "rowscatter" (direct row
@@ -644,6 +649,6 @@ def render_ir(
         return (ir, {"bounces": rest[0]}) if with_stats else ir
     from . import sampling
 
-    dirs = sampling.sample_directions(key, n_rays)
+    dirs = sampling.sample_directions(key, n_rays, rng_impl=opts.rng_impl)
     return trace_ir(sc, dirs, emitter, receiver_pos, receiver_yaw_deg,
                     params, opts, n_total_rays, with_stats=with_stats)

@@ -370,12 +370,15 @@ def _partition_alive_first(state: jax.Array,
     (benchmarks/partition_bench.py measures all on chip):
 
       ``"scatter"``  — scatter iota at dest (inverts the permutation), one
-        row gather applies it. r3: 35 ms at 1M x 16 on v5e — the XLA:TPU
-        1-element scatter lowering is the cost.
+        row gather applies it. Fastest measured: 0.08 ms at 1M x 16 on
+        v5e (benchmarks/partition_bench.py; an earlier 35 ms reading from
+        profile_small.py's standalone stage did not reproduce — the
+        end-to-end schedule sweep confirms partitions are not a
+        significant share of render time).
       ``"rowscatter"`` — scatter the state rows directly at dest; one pass,
-        no inversion, no gather.
+        no inversion, no gather (134 ms — row scatters lower poorly).
       ``"sort"``     — stable 2-operand lax.sort on the done bit + iota,
-        then a row gather (same shape as the coherent gather sort).
+        then a row gather (55 ms).
     """
     n = state.shape[0]
     done_col = state[:, _C_DONE]
@@ -425,11 +428,13 @@ def _round_schedule(max_bounces: int, first: int = 6,
 
     Early rounds are short (most rays die fast — escape or reach the
     receiver); later rounds are long but run on the compacted survivors.
-    Compaction costs ~35 ms at 1M rays on v5e (profile_small.py r3) —
-    NOT negligible; the schedule trades fewer rounds against straggler
-    lockstep depth;
-    the final round absorbs a sub-geometric remainder so a tiny tail round
-    never pays a full grid sweep: 100 bounces -> [6, 12, 24, 58]."""
+    The r3 on-chip schedule sweep (benchmarks/partition_bench.py) confirms
+    this default is near-optimal on the reference workload: [6,12,24,58]
+    130.8 ms vs [6,94] 182 ms vs [100] 321 ms — compaction itself is
+    cheap (<1 ms); what matters is not dragging dead tiles through deep
+    rounds. The final round absorbs a sub-geometric remainder so a tiny
+    tail round never pays a full grid sweep: 100 bounces -> [6, 12, 24, 58].
+    """
     budgets = []
     total = 0
     b = first
