@@ -73,10 +73,20 @@ def main():
                             base_power=3.62, max_bounces=100,
                             energy_threshold=0.0, hrtf_absorption_rate=0.9)
     backend = os.environ.get("AR2_BENCH_BACKEND", "pallas")
+    budgets_env = os.environ.get("AR2_BENCH_BUDGETS", "8,24,68")
+    budgets = (tuple(int(b) for b in budgets_env.split(","))
+               if budgets_env else None)  # AR2_BENCH_BUDGETS= -> default schedule
     opts = ar.TracerOptions(block_size=int(os.environ.get("AR2_BENCH_BLOCK", 65536)),
                             tri_chunk=1024,
                             backend=backend,
                             rays_per_tile=int(os.environ.get("AR2_BENCH_TILE", 256)),
+                            # r3 tuned-best (benchmarks/results/tune_r3b.log,
+                            # docs/ROUND3.md section 4c): rbg direction RNG,
+                            # 4 bounce bodies per all-dead exit check, and a
+                            # 3-round [8, 24, 68] bounce schedule.
+                            rng_impl=os.environ.get("AR2_BENCH_RNG", "rbg"),
+                            pallas_unroll=int(os.environ.get("AR2_BENCH_UNROLL", 4)),
+                            pallas_round_budgets=budgets,
                             # native-RNG init measures the same speed but compiles
                             # ~10x slower through the remote-compile tunnel;
                             # keep the round-end bench snappy by default.

@@ -14,7 +14,7 @@ import pytest
 
 import audiorenderingv2_tpu as ar
 from audiorenderingv2_tpu import constants, testing
-from audiorenderingv2_tpu.core import sampling, tracer_ref
+from audiorenderingv2_tpu.core import sampling, tracer, tracer_ref
 
 REF = "/root/reference"
 SR = 16000
@@ -209,3 +209,41 @@ class TestOracleParity:
                                     small_opts()))
         # e0 = 1/n per ray; same-ear <= 2/n each; cross adds 10%
         assert ir.sum() <= 2.0 * 1.1 + 1e-6
+
+
+class TestRngImpl:
+    """rng_impl="rbg": the fast XLA RngBitGenerator direction stream
+    (TracerOptions.rng_impl / sampling.sample_directions; adopted by the
+    headline bench after the r3 sweep, docs/ROUND3.md section 4c). The
+    reference's curand stream was clock64-seeded and irreproducible
+    (devicePrograms.cu:216-224); both impls here are deterministic."""
+
+    def test_rbg_unit_and_deterministic(self):
+        k = jax.random.PRNGKey(5)
+        a = np.asarray(sampling.sample_directions(k, 4096, rng_impl="rbg"))
+        b = np.asarray(sampling.sample_directions(k, 4096, rng_impl="rbg"))
+        np.testing.assert_array_equal(a, b)  # same key -> same stream
+        np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-5)
+        t = np.asarray(sampling.sample_directions(k, 4096))
+        assert not np.array_equal(a, t)  # distinct stream from threefry
+        # uniform on the sphere: component means vanish at ~1/sqrt(n)
+        assert np.abs(a.mean(axis=0)).max() < 0.05
+
+    def test_render_ir_rbg_statistical_parity(self):
+        """Different stream, same distribution: total IR energy matches the
+        threefry render to Monte-Carlo noise."""
+        v, t = testing.box_room((12.0, 8.0, 10.0))
+        scene = testing.scene_from_arrays(v, t, 0.3)
+        sc = ar.scene_to_arrays(scene, 128)
+        params = base_params(max_bounces=12, base_power=3.62)
+        args = (jnp.zeros(3), jnp.array([2.0, 0.0, 1.0]), jnp.float32(0.0))
+        n = 32768
+        sums = {}
+        for impl in ("threefry", "rbg"):
+            opts = ar.TracerOptions(block_size=n, tri_chunk=128,
+                                    rng_impl=impl)
+            ir = np.asarray(tracer.render_ir(sc, jax.random.PRNGKey(2), n,
+                                             *args, params, opts))
+            assert (ir != 0).sum() > 50
+            sums[impl] = ir.sum()
+        np.testing.assert_allclose(sums["rbg"], sums["threefry"], rtol=0.05)
