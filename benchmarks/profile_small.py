@@ -95,7 +95,9 @@ def main():
 
     def trace(d):
         return rp.trace_events_pallas(tris_packed, d, emitter, rec, 0.0,
-                                      params, version=2)
+                                      params, version=2,
+                                      round_budgets=opts.pallas_round_budgets,
+                                      unroll=opts.pallas_unroll)
     stage("trace", lambda: trace(dirs))
 
     ev_bin, ev_w, ev_ear = jax.block_until_ready(trace(dirs))
