@@ -78,13 +78,23 @@ def run_experiment(renderer, samples: np.ndarray | None = None,
     """Time ``rounds`` render(+convolve) cycles on a renderer.
 
     ``samples``: optional mono signal; when given, each round also times the
-    file convolution (the reference times render, convolute, and the full
-    convolute process separately, main.cpp:566-621).
+    file convolution. The reference reports "convolute" (device compute,
+    timed around the CUDA kernels, kernels.cu:404-435) separately from
+    "convolute process" (the whole host call including PCIe staging and
+    normalization, main.cpp:566-621 / AudioRenderer.cpp:663-718). The same
+    split here: ``convolute`` times the jitted device convolution on
+    pre-staged device arrays (dispatch → block_until_ready), while
+    ``convolute_process`` times the full ``convolve_audio_file`` python
+    call — host→device upload, compute, device→host ``np.asarray``.
     """
     render = StageStats()
     convolute = StageStats()
     convolute_process = StageStats()
     peaks = []
+
+    samples_dev = None
+    if samples is not None:
+        samples_dev = jax.device_put(np.asarray(samples, np.float32))
 
     for i in range(-warmup, rounds):
         t0 = time.perf_counter()
@@ -94,11 +104,18 @@ def run_experiment(renderer, samples: np.ndarray | None = None,
 
         t_conv = t_proc = 0.0
         if samples is not None:
+            # Full host-side process (the reference's "convolute process"):
+            # includes staging both ways and any dump-to-file work.
             t0 = time.perf_counter()
             out = renderer.convolve_audio_file(samples)
-            t_conv = time.perf_counter() - t0
-            t_proc = t_conv  # host-side staging is folded into the same call
+            t_proc = time.perf_counter() - t0
             del out
+            # Device compute only (the reference's "convolute"): inputs are
+            # already device-resident, output is blocked on but not copied.
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                renderer.convolve_audio_file_device(samples_dev))
+            t_conv = time.perf_counter() - t0
         if i >= 0:
             render.add(t_render)
             if samples is not None:

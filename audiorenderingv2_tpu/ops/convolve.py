@@ -88,20 +88,33 @@ def convolve_file_stereo(samples: jax.Array, ir_stereo: jax.Array,
     return jax.vmap(lambda ir: convolve_file(samples, ir, sample_rate))(ir_stereo)
 
 
-@jax.jit
-def convolve_live(block: jax.Array, ir_stereo: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("double_precision",))
+def convolve_live(block: jax.Array, ir_stereo: jax.Array,
+                  double_precision: bool = False) -> jax.Array:
     """Live-input block convolution (kernels.cu:345-377).
 
     ``block`` [ir_length] — the current input frames zero-padded to
     ir_length (AudioRenderer.cpp:599-607). Returns [2, ir_length] with the
     reference's /(ir_length/2) normalization. The streaming layer interleaves
     the two ears and accumulates the overlap tail in the ring buffer.
+
+    The reference's live path is double precision end-to-end (D2Z/Z2D,
+    kernels.cu:345-377; FLOAT64 stream, main.cpp:151). The default here is
+    float32 (documented divergence, docs/PARITY.md): TPUs have no native
+    f64 and the ~1e-7 relative error is below audio quantization.
+    ``double_precision=True`` restores the reference's f64 FFT — it needs
+    ``jax.config.update("jax_enable_x64", True)`` to take effect and is
+    meant for the CPU/live path. Output dtype is always float32 (the
+    stream format conversion the reference does at the RtAudio boundary).
     """
-    block = jnp.asarray(block, jnp.float32)
-    ir_stereo = jnp.asarray(ir_stereo, jnp.float32)
+    dtype = (jnp.float64 if double_precision and jax.config.jax_enable_x64
+             else jnp.float32)  # degrade silently when x64 is off
+    block = jnp.asarray(block, dtype)
+    ir_stereo = jnp.asarray(ir_stereo, dtype)
     ir_length = block.shape[0]
     spec = jnp.fft.rfft(block)[None, :] * jnp.fft.rfft(ir_stereo, axis=-1)
-    return jnp.fft.irfft(spec, n=ir_length, axis=-1) * 2.0
+    out = jnp.fft.irfft(spec, n=ir_length, axis=-1) * 2.0
+    return out.astype(jnp.float32)
 
 
 def interleave_stereo(left: jax.Array, right: jax.Array) -> jax.Array:

@@ -221,6 +221,27 @@ class AudioRenderer:
             self.write_output_to_file_flag = False
         return out
 
+    def convolve_audio_file_device(self, samples_dev) -> jnp.ndarray:
+        """Device-only convolution: pre-staged device samples in, device
+        array out (no ``np.asarray`` copy, no dump-file side effects).
+
+        The measurement path for the reference's "convolute" timer, which
+        wraps only the CUDA kernels (kernels.cu:404-435) — as opposed to
+        ``convolve_audio_file``, whose end-to-end cost is the reference's
+        "convolute process" (AudioRenderer.cpp:663-718). Used by
+        experiment.run_experiment to report the two as distinct numbers.
+        """
+        if self._ir is None:
+            raise RuntimeError("render() an IR first")
+        if self._ir.ndim == 3:
+            from .ops import filterbank
+
+            return filterbank.convolve_file_banded(
+                samples_dev, jnp.asarray(self._ir),
+                self.params.sample_rate, self.band_edges)
+        return convolve.convolve_file_stereo(
+            samples_dev, jnp.asarray(self._ir), self.params.sample_rate)
+
     def convolve_live_input(self, block: np.ndarray, ring_buffer) -> None:
         """Convolve one live input block and accumulate into ``ring_buffer``.
 

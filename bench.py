@@ -74,8 +74,13 @@ def main():
                             energy_threshold=0.0, hrtf_absorption_rate=0.9)
     backend = os.environ.get("AR2_BENCH_BACKEND", "pallas")
     budgets_env = os.environ.get("AR2_BENCH_BUDGETS", "8,24,68")
-    budgets = (tuple(int(b) for b in budgets_env.split(","))
-               if budgets_env else None)  # AR2_BENCH_BUDGETS= -> default schedule
+    # AR2_BENCH_BUDGETS= (empty) -> the library's default schedule.
+    budgets = (tuple(int(b.strip()) for b in budgets_env.split(","))
+               if budgets_env.strip() else None)
+    if budgets is not None and sum(budgets) < 100:
+        sys.exit(f"AR2_BENCH_BUDGETS={budgets_env!r} sums to {sum(budgets)} "
+                 f"< max_bounces=100; deep paths would be truncated. "
+                 f"Use budgets summing to >= 100 (e.g. 8,24,68).")
     opts = ar.TracerOptions(block_size=int(os.environ.get("AR2_BENCH_BLOCK", 65536)),
                             tri_chunk=1024,
                             backend=backend,

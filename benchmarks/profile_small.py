@@ -8,7 +8,8 @@ and measured warm:
   trace     trace_events_pallas only (kernel rounds + compaction)
   hist      histogram from precomputed events only
   init      direction sampling + state init + tiling only
-  round1    first kernel round alone (budget 6, all tiles alive)
+  round1    first kernel round alone (the shipped schedule's first-round
+            budget, all tiles alive)
 
 Also writes a jax.profiler trace to /tmp/ar2_profile_small (TensorBoard
 format) when AR2_PROFILE_TRACE=1.
@@ -91,7 +92,7 @@ def main():
     stage("full", lambda: full(key))
 
     tris_packed = rp2.pack_tris_v2(sc, 1)
-    dirs = sampling.sample_directions(key, n_rays)
+    dirs = sampling.sample_directions(key, n_rays, rng_impl=opts.rng_impl)
 
     def trace(d):
         return rp.trace_events_pallas(tris_packed, d, emitter, rec, 0.0,
@@ -107,7 +108,8 @@ def main():
         b, w, e, params, False, use_pallas_hist=None))
     stage("hist", lambda: hist(ev_bin, ev_w, ev_ear))
 
-    stage("dirs", lambda: sampling.sample_directions(key, n_rays))
+    stage("dirs", lambda: sampling.sample_directions(
+        key, n_rays, rng_impl=opts.rng_impl))
 
     e0 = params.base_power / (n_rays * 4.18879)
     n_pad = ((n_rays + 127) // 128) * 128
@@ -119,7 +121,9 @@ def main():
     coeffs, attrs, boxes = tris_packed
     tiles0 = jax.block_until_ready(init(dirs))
     r1 = jax.jit(lambda t: rp2.trace_round_v2(t, coeffs, attrs, boxes, scal,
-                                              params, 6))
+                                              params,
+                                              opts.pallas_round_budgets[0],
+                                              unroll=opts.pallas_unroll))
     stage("round1", lambda: r1(tiles0))
 
     part = jax.jit(rp._partition_alive_first)

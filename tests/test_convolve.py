@@ -81,6 +81,24 @@ def test_live_circular():
     np.testing.assert_allclose(out[1], 0.5 * block, rtol=1e-4, atol=1e-5)
 
 
+def test_live_double_precision_flag():
+    """double_precision=True reproduces the reference's f64 live FFT
+    (kernels.cu:345-377) when x64 is enabled; without x64 it degrades
+    gracefully to the f32 result. Output dtype is float32 either way."""
+    n = 128
+    rng = np.random.default_rng(7)
+    block = rng.normal(size=n).astype(np.float32)
+    ir = rng.normal(size=(2, n)).astype(np.float32) * 0.1
+    f32 = np.asarray(convolve.convolve_live(jnp.asarray(block),
+                                            jnp.asarray(ir)))
+    f64 = np.asarray(convolve.convolve_live(jnp.asarray(block),
+                                            jnp.asarray(ir),
+                                            double_precision=True))
+    assert f64.dtype == np.float32
+    # The two precisions agree to f32 roundoff regardless of x64 state.
+    np.testing.assert_allclose(f64, f32, rtol=1e-5, atol=1e-6)
+
+
 def test_interleave():
     out = np.asarray(convolve.interleave_stereo(jnp.array([1.0, 2.0]), jnp.array([3.0, 4.0])))
     np.testing.assert_array_equal(out, [1.0, 3.0, 2.0, 4.0])
