@@ -117,16 +117,29 @@ class TracerOptions:
                                  # bench), and the traced grid dimension
                                  # measurably inflates Mosaic compile
                                  # through the remote tunnel.
-    pallas_layout: str = "auto"  # v2 triangle layout: "auto" (clusters ->
-                                 # rows, else group/MXU) | "rows" (VPU
-                                 # tri16 blocks, no MXU — best for small
-                                 # scenes) | "group" (MXU dots)
+    pallas_layout: str = "auto"  # v2 triangle layout: "auto" == "rows"
+                                 # (VPU tri blocks; exact f32, no MXU —
+                                 # measured 82 vs 104 ms on the 1M-ray
+                                 # headline bench, tune_r4.log) | "group"
+                                 # (MXU K=8 dots; kept for A/B)
     pallas_schedule: bool = False  # clustered scenes: per-round XLA-side
                                  # candidate lists (tile_schedule) instead
                                  # of the in-kernel while-loop traversal
     pallas_key_layout: str = "cell"  # compaction keys: "cell" (legacy) |
                                  # "dir72" (direction-major, Morton cells
                                  # — best measured culling)
+    pallas_tri_block: int = 16   # triangles per VPU intersection block
+                                 # (rows/cluster layouts): the post-dot
+                                 # tail (min/argmin reductions, attribute
+                                 # picks, best-row selects) costs ~constant
+                                 # per block, so 32 halves it per triangle;
+                                 # blocks past 32 grow the live register
+                                 # set toward spills
+    pallas_sched_unroll: int = 1 # schedule mode: candidate cluster visits
+                                 # per fori_loop iteration (amortizes the
+                                 # per-visit scalar loop machinery; pad
+                                 # visits re-intersect the last candidate,
+                                 # which the running min absorbs)
     pallas_unroll: int = 1       # bounce bodies per while-loop iteration:
                                  # the all-dead exit check is a
                                  # vector->scalar stall; checking every k
@@ -530,7 +543,8 @@ def trace_ir(
             from ..ops import raytrace_pallas_v2 as rp2
 
             tris_packed = rp2.pack_tris_v2(sc, params.n_bands,
-                                           layout=opts.pallas_layout)
+                                           layout=opts.pallas_layout,
+                                           tri_block=opts.pallas_tri_block)
         else:
             tris_packed = rp.pack_tris(sc)
         ev_bin_f, ev_w, ev_ear, *rest = rp.trace_events_pallas(
@@ -552,6 +566,8 @@ def trace_ir(
             key_layout=opts.pallas_key_layout,
             unroll=opts.pallas_unroll,
             partition_mode=opts.pallas_partition_mode,
+            tri_block=opts.pallas_tri_block,
+            sched_unroll=opts.pallas_sched_unroll,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
                                     opts.soft_binning,
@@ -624,7 +640,8 @@ def render_ir(
         seed = jax.random.randint(key, (), 0, 2**23)
         ev_bin_f, ev_w, ev_ear, *rest = rp.trace_events_pallas(
             rp2.pack_tris_v2(sc, params.n_bands,
-                             layout=opts.pallas_layout), None,
+                             layout=opts.pallas_layout,
+                             tri_block=opts.pallas_tri_block), None,
             jnp.asarray(emitter, jnp.float32),
             jnp.asarray(receiver_pos, jnp.float32),
             jnp.asarray(receiver_yaw_deg, jnp.float32),
@@ -642,6 +659,8 @@ def render_ir(
             key_layout=opts.pallas_key_layout,
             unroll=opts.pallas_unroll,
             partition_mode=opts.pallas_partition_mode,
+            tri_block=opts.pallas_tri_block,
+            sched_unroll=opts.pallas_sched_unroll,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear,
                                     params, opts.soft_binning,

@@ -482,7 +482,7 @@ def trace_round(state, tris_packed, scal, params: TraceParams,
                      "cell_bits", "dir_split", "return_depth", "sort_mode",
                      "sort_interval", "round_budgets", "dynamic_grid",
                      "schedule_mode", "key_layout", "unroll",
-                     "partition_mode"))
+                     "partition_mode", "tri_block", "sched_unroll"))
 def trace_events_pallas(
     tris_packed,
     directions: jax.Array | None,
@@ -509,6 +509,8 @@ def trace_events_pallas(
     key_layout: str = "cell",
     unroll: int = 1,
     partition_mode: str = "scatter",
+    tri_block: int = 16,
+    sched_unroll: int = 1,
 ):
     """Trace rays with the fused kernel in compacting rounds.
 
@@ -645,7 +647,8 @@ def trace_events_pallas(
             tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
                                       params, budgets[0], interpret,
                                       precision, sched=sched1,
-                                      unroll=unroll)
+                                      unroll=unroll, tri_block=tri_block,
+                                      sched_unroll=sched_unroll)
         else:
             # ONE scan body for ANY schedule: the round budget rides in the
             # scalar row (v2._S_BUDGET), so the kernel — and the compaction
@@ -665,7 +668,8 @@ def trace_events_pallas(
                     tiles, coeffs, attrs, boxes, scal, params, b, interpret,
                     precision,
                     n_active_tiles=n_act if dynamic_grid else None,
-                    sched=sched, unroll=unroll)
+                    sched=sched, unroll=unroll, tri_block=tri_block,
+                    sched_unroll=sched_unroll)
                 if compact:
                     not_last = i < n_rounds - 1
                     if boxes is not None and sort_interval > 1:

@@ -89,15 +89,17 @@ def state_ncols(n_bands: int) -> int:
     return 16 + (-(-(2 * (lb - 1)) // 8)) * 8
 
 
-def pack_tris_v2(sc: SceneArrays, n_bands: int = 1, layout: str = "auto"):
+def pack_tris_v2(sc: SceneArrays, n_bands: int = 1, layout: str = "auto",
+                 tri_block: int = _TRI_CHUNK):
     """Build the packed-triangle operands for the v2 kernel; returns
     (coeffs, attrs, boxes).
 
-    ``layout``: "auto" picks by whether the scene carries Morton clusters;
-    "rows" forces the cluster row layout even without clusters (the kernel
-    then runs the VPU tri16 intersection over every 16-triangle block with
-    no slab test — cheaper than the MXU group path for small scenes);
-    "group" forces the MXU group layout (requires no clusters).
+    ``layout``: "auto" = rows (clustered or not — the r4 on-chip sweep
+    measured the unclustered rows path at 82 ms vs the MXU group path's
+    104 ms on the 1M-ray headline bench: exact-f32 VPU outer products beat
+    K=8 MXU dots that pay 6 HIGHEST passes each,
+    benchmarks/results/tune_r4.log); "rows" explicit same; "group" forces
+    the MXU group layout (requires no clusters; kept for A/B measurement).
 
     Two layouts, chosen by whether the scene carries Morton clusters:
 
@@ -165,7 +167,7 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1, layout: str = "auto"):
     if layout == "group" and boxes is not None:
         raise ValueError("group layout cannot carry cluster boxes")
     tn = tn_cols(n_bands)
-    if boxes is None and layout != "rows":
+    if boxes is None and layout == "group":
         # group layout: [G*48, 8] coefficient rows, [T, tn] attributes
         coeffs = q.reshape(t // _GROUP, _GROUP, _NQ, 8).transpose(0, 2, 1, 3)
         coeffs = coeffs.reshape(t // _GROUP * _AROWS, 8).astype(jnp.float32)
@@ -202,14 +204,14 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1, layout: str = "auto"):
         *ab_cols, *pad_rows,
     ], axis=1).astype(jnp.float32)  # [T, _NR]
     if boxes is None:
-        # forced rows layout, no culling: trim to 16-triangle blocks
+        # forced rows layout, no culling: trim to whole VPU tri blocks
         if n_valid is not None:
-            keep = max(1, -(-n_valid // _TRI_CHUNK)) * _TRI_CHUNK
+            keep = max(1, -(-n_valid // tri_block)) * tri_block
             if keep < rows.shape[0]:
                 rows = rows[:keep]
-        if rows.shape[0] % _TRI_CHUNK:
+        if rows.shape[0] % tri_block:
             raise ValueError(f"rows layout: {rows.shape[0]} tris not a "
-                             f"multiple of {_TRI_CHUNK}")
+                             f"multiple of {tri_block}")
         return rows, None, None
     if n_valid is not None:
         keep_c = max(1, -(-n_valid // cs))
@@ -305,7 +307,9 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
                            unroll: int = 1,
                            precision: str = "highest",
                            count_visits: bool = False,
-                           diag: str = "full"):
+                           diag: str = "full",
+                           tri_block: int = _TRI_CHUNK,
+                           sched_unroll: int = 1):
     if use_sched:
         sched_ref, state_ref, out_ref, scr_f_ref, scr_i_ref = rest_refs
     else:
@@ -416,15 +420,20 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
         best0 = (jnp.full((1, _LANES), inf), zero, zero, zero,
                  (zero,) * n_bands, zero)
 
-        sub16 = jax.lax.broadcasted_iota(jnp.int32, (_TRI_CHUNK, _LANES), 0)
+        sub16 = jax.lax.broadcasted_iota(jnp.int32, (tri_block, _LANES), 0)
 
         def tri16(tr, base, best):
-            """Intersect one [16, _NR] row block (cluster layout) against
-            the tile's rays: triangle quantity columns [16, 1] broadcast
-            against ray rows [1, 128] — exact-f32 VPU outer products (the
-            oracle's Möller–Trumbore order), running winner in [1, 128]
-            rows. ``base``: global triangle index of the block's first row
-            (static or traced)."""
+            """Intersect one [tri_block, _NR] row block (cluster layout)
+            against the tile's rays: triangle quantity columns
+            [tri_block, 1] broadcast against ray rows [1, 128] — exact-f32
+            VPU outer products (the oracle's Möller–Trumbore order),
+            running winner in [1, 128] rows. ``base``: global triangle
+            index of the block's first row (static or traced).
+
+            ``tri_block`` trades per-triangle tail cost for registers: the
+            post-dot machinery (min/argmin reductions, attribute picks,
+            best-row selects) costs ~constant per call, so 32-row blocks
+            halve it per triangle; [128, x] blocks spill (r2 finding)."""
             best_t, bnx, bny, bnz, bab, btri = best
             cr = lambda k: tr[:, k:k + 1]                  # [16, 1]
             nd = vx * cr(_R_PNX) + vy * cr(_R_PNY) + vz * cr(_R_PNZ)
@@ -443,10 +452,10 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             ok = (safe & (t > constants.T_MIN)
                   & (u >= -1e-7) & (v >= -1e-7)
                   & (u + v <= 1.0 + 1e-7) & (cr(_R_VAL) > 0))
-            tm = jnp.where(ok, t, inf)                     # [16, 128]
+            tm = jnp.where(ok, t, inf)                     # [tb, 128]
             ct = jnp.min(tm, axis=0, keepdims=True)        # [1, 128]
             better = ct < best_t
-            win_sub = jnp.min(jnp.where(tm <= ct, sub16, _TRI_CHUNK),
+            win_sub = jnp.min(jnp.where(tm <= ct, sub16, tri_block),
                               axis=0, keepdims=True)
             win = sub16 == win_sub
             pick = lambda k: jnp.sum(
@@ -467,9 +476,9 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             # measured ~1 s per bf16 pass-set on the 20k-tri workload.
             tri0 = pl.multiple_of(c * cluster_size, 8)
             trn = coeff_ref[pl.ds(tri0, cluster_size), :]  # [cs, _NR]
-            for j in range(cluster_size // _TRI_CHUNK):
-                best = tri16(trn[j * _TRI_CHUNK:(j + 1) * _TRI_CHUNK, :],
-                             c * cluster_size + j * _TRI_CHUNK, best)
+            for j in range(cluster_size // tri_block):
+                best = tri16(trn[j * tri_block:(j + 1) * tri_block, :],
+                             c * cluster_size + j * tri_block, best)
             return best
 
         if use_cull and diag == "notrav":
@@ -492,9 +501,34 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             n_vis = sched_ref[0, 0, 0]
 
             def sched_visit(k, best):
+                if diag == "noint":
+                    # Diagnostic: the fori_loop + SMEM id read + VMEM
+                    # dynamic slice WITHOUT the intersection math — times
+                    # the per-visit loop machinery in isolation.
+                    tri0 = pl.multiple_of(
+                        sched_ref[0, 0, k + 1] * cluster_size, 8)
+                    trn = coeff_ref[pl.ds(tri0, cluster_size), :]
+                    best_t = jnp.minimum(best[0], trn[0:1, 0:1] + inf)
+                    return (best_t,) + best[1:]
                 return cluster_intersect(sched_ref[0, 0, k + 1], best)
 
-            best = jax.lax.fori_loop(0, n_vis, sched_visit, best0)
+            if sched_unroll > 1:
+                # Process ``sched_unroll`` candidates per loop iteration to
+                # amortize the fori_loop scalar machinery. The running min
+                # is idempotent, so short lists re-visit their LAST valid
+                # cluster for the pad slots (clamp below) — harmless
+                # re-intersection instead of a branch. Empty lists (count
+                # 0) never enter the loop.
+                def sched_visit_u(k, best):
+                    for j in range(sched_unroll):
+                        kk = jnp.minimum(k * sched_unroll + j, n_vis - 1)
+                        best = sched_visit(kk, best)
+                    return best
+
+                n_iter = (n_vis + sched_unroll - 1) // sched_unroll
+                best = jax.lax.fori_loop(0, n_iter, sched_visit_u, best0)
+            else:
+                best = jax.lax.fori_loop(0, n_vis, sched_visit, best0)
             best_t, bnx, bny, bnz, bab, btri = best
             if count_visits:
                 ltri = ltri + jnp.float32(1.0) * n_vis.astype(jnp.float32)
@@ -621,9 +655,9 @@ def _trace_round_kernel_v2(scal_ref, coeff_ref, attr_ref, box_ref,
             # (the group-layout MXU path would pay two 6-pass HIGHEST
             # dot pipelines for the same work).
             def block_step(b, best):
-                tri0 = pl.multiple_of(b * _TRI_CHUNK, 8)
-                return tri16(coeff_ref[pl.ds(tri0, _TRI_CHUNK), :],
-                             b * _TRI_CHUNK, best)
+                tri0 = pl.multiple_of(b * tri_block, 8)
+                return tri16(coeff_ref[pl.ds(tri0, tri_block), :],
+                             b * tri_block, best)
 
             if n_blocks <= 8:  # static unroll for tiny scenes
                 best = best0
@@ -759,7 +793,9 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
                    n_active_tiles: jax.Array | None = None,
                    sched: jax.Array | None = None,
                    single_bounce: bool | None = None,
-                   unroll: int = 1) -> jax.Array:
+                   unroll: int = 1,
+                   tri_block: int = _TRI_CHUNK,
+                   sched_unroll: int = 1) -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
     ``round_budget`` may be a Python int or a traced scalar — it rides in
@@ -796,9 +832,15 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
         jnp.asarray(round_budget, jnp.float32))
     use_cull = boxes is not None
     rows_layout = attrs is None
-    n_blocks = (coeffs.shape[0] // _TRI_CHUNK
+    if rows_layout and coeffs.shape[0] % tri_block:
+        raise ValueError(f"{coeffs.shape[0]} triangle rows not a multiple "
+                         f"of tri_block={tri_block}")
+    n_blocks = (coeffs.shape[0] // tri_block
                 if rows_layout and not use_cull else 0)
     cluster_size = (coeffs.shape[0] // boxes.shape[0]) if use_cull else 128
+    if use_cull and cluster_size % tri_block:
+        raise ValueError(f"cluster size {cluster_size} not a multiple of "
+                         f"tri_block={tri_block}")
     use_sched = sched is not None
     if use_sched and not use_cull:
         raise ValueError("sched requires a clustered (boxes) scene")
@@ -815,7 +857,8 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
         use_sched=use_sched,
         single_bounce=use_sched if single_bounce is None else single_bounce,
         unroll=unroll, precision=precision,
-        count_visits=count_visits, diag=diag)
+        count_visits=count_visits, diag=diag, tri_block=tri_block,
+        sched_unroll=sched_unroll)
     grid = (n_tiles if n_active_tiles is None else n_active_tiles,)
     in_specs = [
         pl.BlockSpec((1, v1._NSCAL), lambda i: (0, 0),

@@ -2,13 +2,62 @@
 
 Generates simple meshes (box rooms, icospheres, single quads) so tests and
 demos don't depend on external assets. Absorption can be set per face group.
+Also hosts the backend-aware IR comparison used by the parity tests.
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
 from .io.obj import MeshData
 from .scene import Scene, build_scene
+
+
+def on_tpu_suite() -> bool:
+    """True when the test suite targets the real TPU backend
+    (``AR2_TEST_TPU=1``; tests/conftest.py otherwise pins an 8-device
+    virtual CPU mesh)."""
+    return bool(os.environ.get("AR2_TEST_TPU"))
+
+
+def assert_ir_close(a, b, exact: bool | None = None,
+                    rtol: float = 1e-3, atol: float = 5e-7,
+                    l1_budget: float = 1e-2) -> None:
+    """Compare two IR histograms, exactly or statistically.
+
+    ``exact`` (default: not :func:`on_tpu_suite`): per-bin allclose — valid
+    when both programs run identical f32 arithmetic (the CPU mesh, where
+    backends match bit-for-bit). On the real chip, two differently-fused XLA
+    programs diverge at f32 rounding; bounce chaos amplifies an ulp into a
+    different path for a handful of rays, which moves whole deposits across
+    bins — per-bin allclose then fails regardless of tolerance while the
+    renders remain physically identical. The statistical mode asserts what
+    hardware actually preserves:
+
+      * per-ear total energy within ``rtol`` (deposit arithmetic parity),
+      * relative L1 distance between the full histograms below
+        ``l1_budget`` (at most a ray-countable handful of deposits moved).
+
+    CPU-exactness remains pinned by the exact mode on the CPU mesh run.
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if exact is None:
+        exact = not on_tpu_suite()
+    if exact:
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+        return
+    assert a.shape == b.shape, (a.shape, b.shape)
+    ea = a.reshape(a.shape[0], -1).sum(axis=1)
+    eb = b.reshape(b.shape[0], -1).sum(axis=1)
+    np.testing.assert_allclose(ea, eb, rtol=max(rtol, 1e-3), atol=atol)
+    denom = np.abs(a).sum()
+    assert denom > 0, "empty IR"
+    l1 = np.abs(a - b).sum() / denom
+    assert l1 < l1_budget, (
+        f"relative L1 distance {l1:.3e} exceeds {l1_budget:.1e} "
+        f"(more than a few deposits moved bins)")
 
 
 def mesh_from_arrays(vertices, triangles, tri_material=None,

@@ -90,7 +90,13 @@ def main():
                             # 4 bounce bodies per all-dead exit check, and a
                             # 3-round [8, 24, 68] bounce schedule.
                             rng_impl=os.environ.get("AR2_BENCH_RNG", "rbg"),
-                            pallas_unroll=int(os.environ.get("AR2_BENCH_UNROLL", 4)),
+                            # r4 tuned-best (benchmarks/results/tune_r4.log):
+                            # rows layout (exact-f32 VPU tri blocks instead
+                            # of 6-pass MXU group dots) + unroll 8 ->
+                            # 79.5 ms / 1.26e7 rays/s on the v5e.
+                            pallas_layout=os.environ.get("AR2_BENCH_LAYOUT",
+                                                         "rows"),
+                            pallas_unroll=int(os.environ.get("AR2_BENCH_UNROLL", 8)),
                             pallas_round_budgets=budgets,
                             # native-RNG init measures the same speed but compiles
                             # ~10x slower through the remote-compile tunnel;
@@ -233,6 +239,21 @@ def main():
             log(f"large-scene bench failed: {e!r}")
             extras["large_scene_error"] = repr(e)
 
+    # Cold-vs-warm startup record (VERDICT r3 #8): the warmup entry point
+    # (python -m audiorenderingv2_tpu.warmup) pre-seeds the persistent
+    # compile cache and records the COLD compile+first times; this bench's
+    # own compile_first_s is the (usually cache-warm) startup the user sees
+    # after warmup. Fold the warmup record in when present.
+    warm = {}
+    wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchmarks", "results", "warmup_r4.json")
+    if os.path.exists(wpath):
+        try:
+            with open(wpath) as f:
+                warm = {"warmup": json.load(f).get("configs", {})}
+        except Exception as e:
+            log(f"warmup record unreadable: {e!r}")
+
     print(json.dumps({
         "metric": "rays_per_s",
         "value": rays_per_s,
@@ -240,6 +261,7 @@ def main():
         "vs_baseline": rays_per_s / CUDA_BASELINE_RAYS_PER_S,
         "compile_first_s": round(compile_first_s, 1),
         **mfu,
+        **warm,
         **({"extras": extras} if extras else {}),
     }))
 

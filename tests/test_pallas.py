@@ -76,7 +76,9 @@ def test_pallas_multichunk_triangles():
     b = np.asarray(ar.trace_ir(sc2, dirs, jnp.zeros(3), jnp.array([2.0, 0.0, 0.0]),
                                0.0, params, xla_opts()))
     assert a.sum() > 0
-    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+    # Different tri chunkings reduce in different f32 orders; exact on the
+    # CPU mesh, statistical on chip (r3 on-chip failure class, ROUND4.md).
+    testing.assert_ir_close(a, b)
 
 
 def test_pallas_ray_padding():
@@ -108,6 +110,41 @@ def test_rows_layout_matches_xla():
                                pallas_opts(2, pallas_layout="rows")))
     b = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 25.0, params,
                                xla_opts()))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+
+
+@pytest.mark.parametrize("layout_kw", [
+    dict(pallas_layout="rows"),          # rows layout, 32-tri VPU blocks
+    dict(),                              # clustered path via schedule mode
+])
+def test_tri_block_32_matches_xla(layout_kw):
+    """pallas_tri_block=32 (one 32-row VPU block per cluster / two per
+    rows-layout sweep) preserves physics on both consuming paths."""
+    from audiorenderingv2_tpu import accel
+
+    if layout_kw:
+        v, t = testing.box_room((12.0, 8.0, 10.0))
+        scene = testing.scene_from_arrays(v, t, 0.3)
+        sc = ar.scene_to_arrays(scene, 128)
+        opts = pallas_opts(2, pallas_tri_block=32, **layout_kw)
+        sc_plain = sc
+    else:
+        v, t = testing.icosphere(radius=6.0, subdivisions=3)
+        scene = testing.scene_from_arrays(v, t, 0.2)
+        sorted_scene, clusters = accel.prepare_scene(scene, cluster_size=32)
+        sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+        opts = pallas_opts(2, pallas_tri_block=32, pallas_schedule=True,
+                           pallas_key_layout="dir72")
+        sc_plain = ar.scene_to_arrays(scene, 128)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(33), 256)
+    rec = jnp.array([1.5, 0.5, -1.0], jnp.float32)
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 10.0, params,
+                               opts))
+    b = np.asarray(ar.trace_ir(sc_plain, dirs, jnp.zeros(3), rec, 10.0,
+                               params, xla_opts()))
     assert a.sum() > 0
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
 
@@ -194,6 +231,31 @@ def test_schedule_mode_matches_xla(cs, keys):
     sc_plain = ar.scene_to_arrays(scene, 128)
     b = np.asarray(ar.trace_ir(sc_plain, dirs, jnp.zeros(3), rec, 10.0,
                                params, xla_opts()))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+
+
+@pytest.mark.parametrize("su", [2, 3])
+def test_sched_unroll_matches_xla(su):
+    """Candidate-visit unrolling (multiple clusters per fori_loop step,
+    pad visits clamped to the last id — idempotent under the running min)
+    preserves physics."""
+    from audiorenderingv2_tpu import accel
+
+    v, t = testing.icosphere(radius=6.0, subdivisions=3)
+    scene = testing.scene_from_arrays(v, t, 0.2)
+    sorted_scene, clusters = accel.prepare_scene(scene, cluster_size=32)
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(40), 256)
+    rec = jnp.array([1.5, 0.5, -1.0], jnp.float32)
+    opts = pallas_opts(2, pallas_schedule=True, pallas_key_layout="dir72",
+                       pallas_sched_unroll=su)
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 10.0, params,
+                               opts))
+    b = np.asarray(ar.trace_ir(ar.scene_to_arrays(scene, 128), dirs,
+                               jnp.zeros(3), rec, 10.0, params, xla_opts()))
     assert a.sum() > 0
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
 

@@ -11,6 +11,18 @@ from audiorenderingv2_tpu.parallel import make_ray_mesh, render_ir_sharded, trac
 
 SR = 16000
 
+# These tests encode the 8-device mesh the conftest provides on CPU
+# (mesh-spanning asserts, divisibility errors, interpret-mode pallas under
+# shard_map). The real backend exposes ONE chip, so the shapes they pin
+# don't exist there — r3's on-chip run failed exactly the mesh-shape
+# subset (docs/ROUND4.md). On-chip shard_map coverage lives in
+# test_tpu_parity.py (shard_map + pallas_call on the real device) and the
+# driver's dryrun_multichip.
+pytestmark = pytest.mark.skipif(
+    testing.on_tpu_suite() and len(jax.devices()) < 8,
+    reason="needs the 8-device virtual CPU mesh; the real backend has "
+           "1 device (on-chip shard_map parity: test_tpu_parity.py)")
+
 
 def make_box():
     v, t = testing.box_room((12.0, 8.0, 10.0))
