@@ -75,9 +75,16 @@ def render_ir_matrix(
             return jax.vmap(one)(ks, ems, rcs, yws)
     else:
         @jax.jit
+        def one_pair(k, em, rc, yw):
+            dirs = sampling.sample_directions(k, n_rays,
+                                              rng_impl=opts.rng_impl)
+            return trace_ir(sc, dirs, em, rc, yw, params, opts)
+
+        @jax.jit
         def many(ks, ems, rcs, yws):
             def one(k, em, rc, yw):
-                dirs = sampling.sample_directions(k, n_rays)
+                dirs = sampling.sample_directions(k, n_rays,
+                                                  rng_impl=opts.rng_impl)
                 return trace_ir(sc, dirs, em, rc, yw, params, opts)
 
             return jax.vmap(one)(ks, ems, rcs, yws)
@@ -89,6 +96,15 @@ def render_ir_matrix(
     yw_p = jnp.asarray(np.tile(yaws, s))
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
         jnp.arange(n_pairs, dtype=jnp.uint32))
+    if mesh is None and pair_batch == 1:
+        # Per-pair async dispatch: every dispatch is the plain single-pose
+        # program (the fastest compiled path — vmapping the Pallas
+        # trace measured ~5x slower per ray on chip, product_bench r4),
+        # and nothing blocks until all pairs are in flight.
+        results = [one_pair(keys[i], em_p[i], rc_p[i], yw_p[i])
+                   for i in range(n_pairs)]
+        flat = np.stack([np.asarray(x) for x in results])
+        return flat.reshape(s, l, 2, params.ir_length)
     batch = n_pairs if pair_batch in (0, None) else min(pair_batch, n_pairs)
     chunks = []
     for start in range(0, n_pairs, batch):

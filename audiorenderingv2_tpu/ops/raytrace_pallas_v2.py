@@ -904,11 +904,15 @@ def tile_schedule(tiles: jax.Array, boxes: jax.Array,
     AABB (the same math the legacy in-kernel pass runs,
     raytrace_pallas_v2.py slab section), reduced to a per-cluster minimum
     entry distance over the tile's alive rays. Returns int32 [n_tiles, S]
-    rows: slot 0 = number of candidate clusters, slots 1..count = cluster
-    ids sorted by entry distance (front-to-back). The kernel consumes rows
-    via an SMEM block and just loops them — moving candidate SELECTION out
-    of the kernel removes the per-visit vector->scalar SMEM round-trips
-    that dominated the r3 profile (373 of 376 ms/round).
+    rows: slot 0 = number of candidate clusters, slots 1..count = the
+    candidate cluster ids (ascending id order — NOT distance-sorted: the
+    kernel's running min visits every candidate, so visit order cannot
+    change the result, and the r3 front-to-back ``argsort`` over
+    [tiles, C] f32 entries was pure waste; a cumsum compaction of the
+    reachable set replaced it in r4). The kernel consumes rows via an SMEM
+    block and just loops them — moving candidate SELECTION out of the
+    kernel removes the per-visit vector->scalar SMEM round-trips that
+    dominated the r3 profile (373 of 376 ms/round).
 
     Cost: n_rays x C slab tests per round — vectorized VPU work with no
     data-dependent control flow (~12.5 Gflop at 1M rays x 624 clusters),
@@ -940,10 +944,17 @@ def tile_schedule(tiles: jax.Array, boxes: jax.Array,
         entry = jnp.maximum(tn, 0.0)
         ok = ((tf >= entry) & bval[None, :, None]
               & (done[:, None, :] == 0.0))
-        entry_c = jnp.min(jnp.where(ok, entry, inf), axis=2)   # [k, C]
-        order = jnp.argsort(entry_c, axis=1).astype(jnp.int32)
-        count = jnp.sum(jnp.isfinite(entry_c), axis=1,
-                        dtype=jnp.int32)
+        reach = jnp.any(ok, axis=2)                            # [k, C]
+        count = jnp.sum(reach, axis=1, dtype=jnp.int32)
+        # Stable compaction: reachable ids first (ascending), the rest
+        # after — two cumsums + one per-row scatter of a permutation.
+        rank_in = jnp.cumsum(reach, axis=1, dtype=jnp.int32) - 1
+        rank_out = jnp.cumsum(~reach, axis=1, dtype=jnp.int32) - 1
+        dest = jnp.where(reach, rank_in, count[:, None] + rank_out)
+        iota = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (k, C))
+        rows_idx = jnp.broadcast_to(jnp.arange(k)[:, None], (k, C))
+        order = jnp.zeros((k, C), jnp.int32).at[rows_idx, dest].set(
+            iota, unique_indices=True)
         pad = jnp.zeros((k, S - C - 1), jnp.int32)
         return jnp.concatenate([count[:, None], order, pad], axis=1)
 

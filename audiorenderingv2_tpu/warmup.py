@@ -101,7 +101,9 @@ def shipped_configs():
         lopts = ar.TracerOptions(backend="pallas", pallas_version=2,
                                  pallas_schedule=True,
                                  pallas_key_layout="dir72",
-                                 pallas_cell_bits=5)
+                                 pallas_cell_bits=5,
+                                 pallas_tri_block=32,
+                                 pallas_sched_unroll=6)
         f = jax.jit(lambda k: render_ir(
             lsc, k, 1_000_000, jnp.zeros(3, jnp.float32),
             jnp.array([6.0, 1.0, -8.0], jnp.float32), 0.0, lparams, lopts,

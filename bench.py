@@ -189,6 +189,13 @@ def main():
                 pallas_key_layout=os.environ.get("AR2_BENCH_KEYS", "dir72"),
                 pallas_cell_bits=int(os.environ.get("AR2_BENCH_CELL_BITS",
                                                     5)),
+                # r4 tuned-best (tune_r4b/c logs): 32-row VPU intersection
+                # blocks + 6 candidate visits per fori iteration ->
+                # 3.79 s -> 2.91 s at 20k tris x 1M rays x 32 bounces.
+                pallas_tri_block=int(os.environ.get("AR2_BENCH_TRI_BLOCK",
+                                                    32)),
+                pallas_sched_unroll=int(os.environ.get(
+                    "AR2_BENCH_SCHED_UNROLL", 6)),
                 pallas_dir_split=os.environ.get("AR2_BENCH_DIR_SPLIT",
                                                 "0") == "1")
 

@@ -81,6 +81,17 @@ def walkthrough():
     reps = int(np.ceil(20 * sr / mono.shape[0]))
     samples = np.tile(mono, reps)[: 20 * sr].astype(np.float32)
 
+    # Warm the two compiled programs (render + whole-signal convolve) once
+    # and report that separately: through the remote-compile tunnel a cold
+    # first cycle is tens of seconds to minutes, and folding it into the
+    # loop time would misreport the sustained rate the reference's policy
+    # actually experiences (its pipeline build is likewise one-time,
+    # AudioRenderer.cpp:264-296).
+    p0, y0 = traj.at(0.0)
+    t0 = time.time()
+    r.full_render_cycle(p0, y0, samples)
+    cold_s = time.time() - t0
+
     aur = streaming.Auralizer(r, traj, chunk_seconds=0.25)
     t0 = time.time()
     out = aur.run(samples)
@@ -88,6 +99,7 @@ def walkthrough():
     assert np.isfinite(out).all()
     report["walkthrough"] = {
         "audio_seconds": 20.0,
+        "compile_first_cycle_s": round(cold_s, 1),
         "wall_seconds": round(wall, 2),
         "real_time_factor": round(20.0 / wall, 2),
         "renders": aur.renders,
@@ -111,8 +123,10 @@ def duplex(r):
     lat = []
     silenced = 0
     n_blocks = 80  # 80 x 4096 / 16k = 20.5 s of audio
+    budget = 4096 / sr  # real-time pacing: one block per 256 ms
     poses = [(np.array([0.5 + 0.2 * i, 9.9, -1.0 + 0.1 * i]), 5.0 * i)
              for i in range(n_blocks)]
+    next_deadline = time.time()
     for i in range(n_blocks):
         if i % 10 == 0:  # listener moved: fire a background re-render
             worker.request(*poses[i])
@@ -121,6 +135,14 @@ def duplex(r):
         lat.append(time.time() - t0)
         if not np.any(y):
             silenced += 1
+        # Pace at the audio clock (the RtAudio callback cadence,
+        # main.cpp:144-161): an unpaced loop would spin through silence
+        # faster than the worker can finish one render and overstate the
+        # silenced count.
+        next_deadline += budget
+        sleep = next_deadline - time.time()
+        if sleep > 0:
+            time.sleep(sleep)
     worker.wait_idle()
     worker.close()
     lat_ms = np.asarray(lat) * 1e3
@@ -150,20 +172,22 @@ def matrix():
                       np.linspace(-2.0, 2.0, 8)], axis=1).astype(np.float32)
     yaws = np.linspace(0.0, 90.0, 8).astype(np.float32)
 
-    for backend_name, opts in [("pallas_rows", bench_opts()),
-                               ("xla", ar.TracerOptions(block_size=65536,
-                                                        tri_chunk=1024))]:
+    for backend_name, opts, pb in [
+            ("pallas_rows_loop", bench_opts(), 1),
+            ("pallas_rows_vmap8", bench_opts(), 8),
+            ("xla_vmap8", ar.TracerOptions(block_size=65536,
+                                           tri_chunk=1024), 8)]:
         sc = ar.scene_to_arrays(scene, opts.tri_chunk)
         try:
             t0 = time.time()
             irs = multi.render_ir_matrix(sc, jax.random.PRNGKey(0), s_pos,
                                          l_pos, yaws, n_rays, params, opts,
-                                         pair_batch=8)
+                                         pair_batch=pb)
             first = time.time() - t0
             t0 = time.time()
             irs = multi.render_ir_matrix(sc, jax.random.PRNGKey(1), s_pos,
                                          l_pos, yaws, n_rays, params, opts,
-                                         pair_batch=8)
+                                         pair_batch=pb)
             warm = time.time() - t0
             assert np.isfinite(irs).all() and irs.sum() > 0
             report[f"matrix_{backend_name}"] = {

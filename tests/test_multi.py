@@ -38,6 +38,10 @@ def test_matrix_shape_and_single_pair_parity():
                                     jnp.asarray(receivers[2]), -90.0,
                                     params, opts))
     np.testing.assert_allclose(irs[1, 2], single, rtol=1e-4, atol=1e-8)
+    # pair_batch=1 (per-pair async dispatch, no vmap) gives the same matrix
+    irs1 = multi.render_ir_matrix(sc, key, emitters, receivers, yaws, 512,
+                                  params, opts, pair_batch=1)
+    np.testing.assert_allclose(irs1, irs, rtol=1e-5, atol=1e-9)
 
 
 def test_matrix_sharded_batches_pairs():

@@ -155,3 +155,33 @@ def test_sharded_pallas_clustered_interpret():
                          pallas_interpret=True))
     np.testing.assert_allclose(np.asarray(pal), np.asarray(xla),
                                rtol=1e-4, atol=1e-9)
+
+
+def test_sharded_schedule_mode_interpret():
+    """The large-scene production configuration — schedule-mode clustered
+    kernel (XLA per-round candidate lists, dir72 keys, tb32 + sched_unroll)
+    — under shard_map on the 8-device mesh. Validates the multi-chip
+    large-scene claim: per-shard tile schedules are computed on local ray
+    state, so the path is embarrassingly parallel up to the final psum."""
+    from audiorenderingv2_tpu import accel
+
+    v, t = testing.icosphere(radius=6.0, subdivisions=3)
+    scene = testing.scene_from_arrays(v, t, 0.2)
+    sorted_scene, clusters = accel.prepare_scene(scene, cluster_size=32)
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    p = ar.TraceParams(sample_rate=8000, ir_length=8000, base_power=3.62,
+                       max_bounces=4)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(9), 1024)
+    rec = jnp.array([1.5, 0.5, -1.0])
+    pal = trace_directions_sharded(
+        sc, dirs, jnp.zeros(3), rec, 10.0, p,
+        ar.TracerOptions(backend="pallas", pallas_version=2,
+                         pallas_schedule=True, pallas_key_layout="dir72",
+                         pallas_tri_block=32, pallas_sched_unroll=4,
+                         pallas_interpret=True))
+    xla = trace_directions_sharded(
+        sc, dirs, jnp.zeros(3), rec, 10.0, p,
+        ar.TracerOptions(block_size=128, tri_chunk=128))
+    # compaction reorders deposits -> f32 summation-order differences
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(xla),
+                               rtol=1e-3, atol=5e-7)
