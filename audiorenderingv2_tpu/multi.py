@@ -97,10 +97,12 @@ def render_ir_matrix(
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
         jnp.arange(n_pairs, dtype=jnp.uint32))
     if mesh is None and pair_batch == 1:
-        # Per-pair async dispatch: every dispatch is the plain single-pose
-        # program (the fastest compiled path — vmapping the Pallas
-        # trace measured ~5x slower per ray on chip, product_bench r4),
-        # and nothing blocks until all pairs are in flight.
+        # Per-pair async dispatch of the plain single-pose program. On the
+        # remote-dispatch chip this measured WORSE than the vmapped batch
+        # (623 ms vs 172 ms per pair at 250k rays — per-dispatch tunnel
+        # latency dominates small launches; product_bench_r4.json), so the
+        # vmapped path stays the default; this one exists for parity
+        # testing and for locally-attached devices.
         results = [one_pair(keys[i], em_p[i], rc_p[i], yw_p[i])
                    for i in range(n_pairs)]
         flat = np.stack([np.asarray(x) for x in results])

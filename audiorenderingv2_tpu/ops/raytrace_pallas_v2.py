@@ -946,15 +946,13 @@ def tile_schedule(tiles: jax.Array, boxes: jax.Array,
               & (done[:, None, :] == 0.0))
         reach = jnp.any(ok, axis=2)                            # [k, C]
         count = jnp.sum(reach, axis=1, dtype=jnp.int32)
-        # Stable compaction: reachable ids first (ascending), the rest
-        # after — two cumsums + one per-row scatter of a permutation.
-        rank_in = jnp.cumsum(reach, axis=1, dtype=jnp.int32) - 1
-        rank_out = jnp.cumsum(~reach, axis=1, dtype=jnp.int32) - 1
-        dest = jnp.where(reach, rank_in, count[:, None] + rank_out)
-        iota = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (k, C))
-        rows_idx = jnp.broadcast_to(jnp.arange(k)[:, None], (k, C))
-        order = jnp.zeros((k, C), jnp.int32).at[rows_idx, dest].set(
-            iota, unique_indices=True)
+        # Stable partition via a boolean-key argsort: reachable ids first,
+        # ascending id order within each class. (A cumsum + row-scatter
+        # compaction was tried in r4 and measured ~1 s SLOWER end-to-end —
+        # TPU row scatters lower poorly, the same lesson as the r3
+        # partition study; the 1-bit sort is the cheap implementation.)
+        order = jnp.argsort(jnp.where(reach, 0, 1), axis=1,
+                            stable=True).astype(jnp.int32)
         pad = jnp.zeros((k, S - C - 1), jnp.int32)
         return jnp.concatenate([count[:, None], order, pad], axis=1)
 

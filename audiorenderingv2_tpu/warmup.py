@@ -34,13 +34,21 @@ def _timeit(fn, n=2):
     import jax
     import numpy as np
 
+    def sync(out):
+        # Materialize the first array leaf to host: through the axon
+        # tunnel block_until_ready was observed to stop blocking partway
+        # into a process (docs/ROUND4.md 1b); a device->host copy cannot
+        # complete before the computation has.
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf)
+
     t0 = time.time()
-    jax.block_until_ready(fn())
+    sync(fn())
     cold_s = time.time() - t0
     ts = []
     for _ in range(n):
         t0 = time.time()
-        jax.block_until_ready(fn())
+        sync(fn())
         ts.append(time.time() - t0)
     return cold_s, float(np.median(ts))
 

@@ -124,13 +124,22 @@ def main():
         f"ir sum={float(np.asarray(ir).sum()):.4e}, "
         f"nonzero bins={int((np.asarray(ir) != 0).sum())}")
 
+    # Timed sections materialize the IR to host (np.asarray) instead of
+    # trusting block_until_ready: through the axon tunnel the latter was
+    # observed to stop blocking partway into a process, yielding
+    # physically impossible sub-ms "renders" (docs/ROUND4.md 1b). The
+    # [2, 32000] copy is ~256 KB — noise at these timescales — and a
+    # number can then only be produced by a completed render.
     times = []
+    checks = []
     for i in range(5):
         k = jax.random.fold_in(key, i + 1)
         t0 = time.time()
-        jax.block_until_ready(render(k, emitter, rec, yaw))
+        out_ir, _ = render(k, emitter, rec, yaw)
+        checks.append(float(np.asarray(out_ir).sum()))
         times.append(time.time() - t0)
     t_render = float(np.median(times))
+    assert all(np.isfinite(c) and c > 0 for c in checks), checks
     rays_per_s = n_rays / t_render
     log(f"render times: {[f'{t*1000:.1f}ms' for t in times]}; "
         f"median {t_render*1000:.1f} ms -> {rays_per_s:.3e} rays/s "
@@ -211,12 +220,14 @@ def main():
             log(f"large scene ({lscene.n_triangles} tris): compile+first "
                 f"{l_compile_s:.1f}s")
             lt = []
+            lchecks = []
             for i in range(3):
                 t0 = time.time()
-                jax.block_until_ready(
-                    render_large(jax.random.fold_in(key, 100 + i)))
+                l_ir, _ = render_large(jax.random.fold_in(key, 100 + i))
+                lchecks.append(float(np.asarray(l_ir).sum()))  # hard sync
                 lt.append(time.time() - t0)
             l_render = float(np.median(lt))
+            assert all(np.isfinite(c) and c > 0 for c in lchecks), lchecks
             # Clustered-path useful work: tested triangles per ray-bounce =
             # mean candidate clusters per tile x cluster size (measured
             # 48.4 x 32 = 1551 for the schedule-mode cs32 dir72 config on
