@@ -497,6 +497,94 @@ def _histogram_from_events(ev_bin_f, ev_w, ev_ear, params: TraceParams,
     return jnp.transpose(hist, (0, 2, 1))
 
 
+def _histogram_from_events_posed(ev_bin_f, ev_w, ev_ear,
+                                 params: TraceParams,
+                                 pose_chunk: int = 16) -> jax.Array:
+    """Pose-batched events -> [P, 2(, n_bands), ir_length] histograms.
+
+    One flat histogram per chunk of poses (flat bin =
+    (pose*2 + ear)*nb + bin), so P histograms cost one sort/scatter pass
+    per chunk instead of P dispatches; the cross-ear shift
+    (devicePrograms.cu:136-167) vectorizes over the pose axis. Chunking
+    keeps the Pallas accumulator inside its VMEM budget
+    (ops/histogram_pallas.fits_vmem) at large P. Hard binning only — the
+    pose batch is a forward-rendering path.
+    """
+    nb = params.ir_length
+    p = ev_bin_f.shape[0]
+    outs = []
+    for start in range(0, p, pose_chunk):
+        pb = ev_bin_f[start:start + pose_chunk]
+        pw = ev_w[start:start + pose_chunk]
+        pe = ev_ear[start:start + pose_chunk]
+        pc = pb.shape[0]
+        active = jnp.any(pw != 0.0, axis=-1)
+        b = jnp.round(pb).astype(jnp.int32)
+        pose = jnp.arange(pc, dtype=jnp.int32)[:, None]
+        flat = jnp.where(active & (b >= 0) & (b < nb),
+                         (pose * 2 + pe) * nb + b, pc * 2 * nb)
+        hist = binning.histogram_sum_banded(
+            flat.reshape(-1), pw.reshape(-1, params.n_bands), pc * 2 * nb)
+        hist = hist.reshape(pc, 2, nb, params.n_bands)
+        if not params.is_mono:
+            scale = 1.0 - params.hrtf_absorption_rate
+            delay = params.cross_ear_delay
+            shifted = jnp.roll(hist, delay, axis=2)
+            mask = (jnp.arange(nb) >= delay)[None, None, :, None]
+            tail = (jnp.arange(nb) >= nb - delay)[None, None, :, None]
+            cross = scale * (jnp.where(mask, shifted, 0.0)
+                             + jnp.where(tail, hist, 0.0))
+            hist = hist + cross[:, ::-1]
+        outs.append(hist)
+    hist = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    if params.n_bands == 1:
+        return hist[:, :, :, 0]
+    return jnp.transpose(hist, (0, 1, 3, 2))
+
+
+def render_ir_pose_batch(
+    sc: SceneArrays,
+    key: jax.Array,
+    n_rays: int,
+    emitters: jax.Array,
+    receivers: jax.Array,
+    receiver_yaws_deg: jax.Array,
+    params: TraceParams,
+    opts: TracerOptions = TracerOptions(),
+    pose_indices: jax.Array | None = None,
+) -> jax.Array:
+    """Render P poses in one fused launch (the multi-pose fast path).
+
+    Directions for pose i come from ``fold_in(key, pose_indices[i])``
+    (default identity) — the same stream the per-pair path uses, so the
+    two paths agree up to f32 summation order. Returns
+    [P, 2(, n_bands), ir_length]. Requirements: pallas v2 backend,
+    unclustered scene, hard binning.
+    """
+    from ..ops import raytrace_pallas as rp
+    from . import sampling
+
+    p = emitters.shape[0]
+    if pose_indices is None:
+        pose_indices = jnp.arange(p, dtype=jnp.uint32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.asarray(pose_indices).astype(jnp.uint32))
+    dirs = jax.vmap(lambda k: sampling.sample_directions(
+        k, n_rays, rng_impl=opts.rng_impl))(keys)
+    ev_bin_f, ev_w, ev_ear = rp.trace_events_pose_batch(
+        sc, dirs, jnp.asarray(emitters, jnp.float32),
+        jnp.asarray(receivers, jnp.float32),
+        jnp.asarray(receiver_yaws_deg, jnp.float32), params,
+        interpret=opts.pallas_interpret,
+        compact=opts.pallas_compact,
+        round_budgets=opts.pallas_round_budgets,
+        unroll=opts.pallas_unroll,
+        partition_mode=opts.pallas_partition_mode,
+        layout=opts.pallas_layout,
+        tri_block=opts.pallas_tri_block)
+    return _histogram_from_events_posed(ev_bin_f, ev_w, ev_ear, params)
+
+
 def trace_ir(
     sc: SceneArrays,
     directions: jax.Array,

@@ -96,6 +96,29 @@ def render_ir_matrix(
     yw_p = jnp.asarray(np.tile(yaws, s))
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
         jnp.arange(n_pairs, dtype=jnp.uint32))
+
+    fused_ok = (mesh is None and opts.backend == "pallas"
+                and opts.pallas_version == 2 and sc.cluster_boxes is None
+                and not opts.soft_binning and not opts.pallas_native_rng
+                and params.n_bands == 1)
+    if fused_ok and pair_batch != 1:
+        # Fused pose batch: ONE kernel launch traces every pair — each
+        # 128-ray tile reads its pair's (emitter, receiver, yaw) scalar
+        # row through the SMEM index map (trace_events_pose_batch). Same
+        # per-pair key/direction stream as the paths below.
+        from .core.tracer import render_ir_pose_batch
+
+        batch = n_pairs if pair_batch in (0, None) else min(
+            max(pair_batch, 8), n_pairs)
+        chunks = []
+        for start in range(0, n_pairs, batch):
+            idx = jnp.arange(start, start + batch) % n_pairs
+            irs = render_ir_pose_batch(sc, key, n_rays, em_p[idx],
+                                       rc_p[idx], yw_p[idx], params, opts,
+                                       pose_indices=idx)
+            chunks.append(np.asarray(irs))
+        flat = np.concatenate(chunks)[:n_pairs]
+        return flat.reshape(s, l, 2, params.ir_length)
     if mesh is None and pair_batch == 1:
         # Per-pair async dispatch of the plain single-pose program. On the
         # remote-dispatch chip this measured WORSE than the vmapped batch

@@ -715,3 +715,123 @@ def trace_events_pallas(
     out = (state[:, _C_EVB], state[:, _C_EVW:_C_EVW + 1],
            state[:, _C_EVE].astype(jnp.int32))
     return out + (state[:, _C_DEPTH],) if return_depth else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "n_total_rays_per_pose", "interpret",
+                     "compact", "round_budgets", "unroll", "partition_mode",
+                     "layout", "tri_block"))
+def trace_events_pose_batch(
+    sc,
+    directions: jax.Array,
+    emitters: jax.Array,
+    receivers: jax.Array,
+    receiver_yaws_deg: jax.Array,
+    params: TraceParams,
+    n_total_rays_per_pose: int | None = None,
+    interpret: bool = False,
+    compact: bool = True,
+    round_budgets: tuple | None = None,
+    unroll: int = 1,
+    partition_mode: str = "scatter",
+    layout: str = "auto",
+    tri_block: int = 16,
+):
+    """Trace P poses in ONE fused kernel launch (v2, unclustered scenes).
+
+    The reference renders one (emitter, receiver) pair per launch
+    (LaunchParams.h:20-43); the TPU multi-pose matrix wants S x L pairs.
+    vmapping the single-pose program measured ~5x slower per ray on chip
+    (batched pallas_call + batched compaction sorts, product_bench r4), so
+    this driver batches poses the TPU-native way instead: the ray state is
+    pose-major ([P * n_pad] rows), each 128-ray tile belongs to exactly one
+    pose, and the kernel reads its pose's (emitter, receiver, yaw, e0)
+    scalar row through the SMEM BlockSpec index map (tile i -> row
+    i // tiles_per_pose). The kernel body is byte-identical to the
+    single-pose one; between rounds the alive-first partition runs
+    per-pose (vmapped — stable within each pose's segment, so tiles never
+    mix poses).
+
+    Args:
+      sc: SceneArrays WITHOUT clusters (rows/group layout; the clustered
+        schedule path stays single-pose).
+      directions: [P, N, 3] unit directions (pose-major).
+      emitters / receivers: [P, 3]; receiver_yaws_deg: [P].
+      n_total_rays_per_pose: energy normalization count (defaults to N).
+
+    Returns (ev_bin_f [P, n_pad], ev_w [P, n_pad, n_bands],
+    ev_ear [P, n_pad]).
+    """
+    from . import raytrace_pallas_v2 as v2
+
+    if sc.cluster_boxes is not None:
+        raise ValueError("pose-batched tracing supports unclustered scenes "
+                         "(rows/group layout) only")
+    p, n = directions.shape[0], directions.shape[1]
+    n_real = n_total_rays_per_pose if n_total_rays_per_pose is not None else n
+    n_pad = ((n + _LANES - 1) // _LANES) * _LANES
+    tiles_per_pose = n_pad // _LANES
+    n_bands = params.n_bands
+    ncols = v2.state_ncols(n_bands)
+    en_cols, evw_cols = v2._band_cols(n_bands)
+
+    coeffs, attrs, boxes = v2.pack_tris_v2(sc, n_bands, layout=layout,
+                                           tri_block=tri_block)
+    assert boxes is None
+
+    e0 = params.base_power / (n_real * constants.SPHERE_VOLUME)
+    yaws = jnp.deg2rad(jnp.asarray(receiver_yaws_deg, jnp.float32))
+    scal = jax.vmap(
+        lambda em, rc, yw: _scalars(em, rc, yw, e0, params)[0]
+    )(jnp.asarray(emitters, jnp.float32),
+      jnp.asarray(receivers, jnp.float32), yaws)          # [P, _NSCAL]
+
+    state = jax.vmap(
+        lambda d, em: init_state(d, em, e0, n_pad, ncols=ncols,
+                                 en_cols=tuple(en_cols))
+    )(jnp.asarray(directions, jnp.float32),
+      jnp.asarray(emitters, jnp.float32))                  # [P, n_pad, nc]
+    tiles = v2.to_tiles(state.reshape(p * n_pad, ncols))
+
+    if round_budgets is not None:
+        if sum(round_budgets) < params.max_bounces:
+            raise ValueError(f"round_budgets {round_budgets} sum below "
+                             f"max_bounces {params.max_bounces}")
+        budgets = list(round_budgets)
+    elif not compact:
+        budgets = [params.max_bounces]
+    else:
+        budgets = _round_schedule(params.max_bounces)
+
+    def compact_tiles(tiles):
+        st = v2.from_tiles(tiles).reshape(p, n_pad, ncols)
+        st = jax.vmap(lambda s: _partition_alive_first(s, partition_mode))(st)
+        return v2.to_tiles(st.reshape(p * n_pad, ncols))
+
+    if len(budgets) == 1:
+        tiles = v2.trace_round_v2(tiles, coeffs, attrs, None, scal, params,
+                                  budgets[0], interpret, unroll=unroll,
+                                  tri_block=tri_block,
+                                  tiles_per_pose=tiles_per_pose)
+    else:
+        n_rounds = len(budgets)
+
+        def body(carry, xb):
+            tiles = carry
+            i, b = xb
+            tiles = v2.trace_round_v2(tiles, coeffs, attrs, None, scal,
+                                      params, b, interpret, unroll=unroll,
+                                      tri_block=tri_block,
+                                      tiles_per_pose=tiles_per_pose)
+            if compact:
+                tiles = jax.lax.cond(i < n_rounds - 1, compact_tiles,
+                                     lambda t: t, tiles)
+            return tiles, None
+
+        xs = (jnp.arange(n_rounds), jnp.asarray(budgets, jnp.float32))
+        tiles, _ = jax.lax.scan(body, tiles, xs)
+
+    state = v2.from_tiles(tiles).reshape(p, n_pad, ncols)
+    return (state[:, :, _C_EVB], state[:, :, jnp.asarray(evw_cols)],
+            state[:, :, _C_EVE].astype(jnp.int32))

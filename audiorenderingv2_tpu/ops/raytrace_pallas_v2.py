@@ -795,7 +795,8 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
                    single_bounce: bool | None = None,
                    unroll: int = 1,
                    tri_block: int = _TRI_CHUNK,
-                   sched_unroll: int = 1) -> jax.Array:
+                   sched_unroll: int = 1,
+                   tiles_per_pose: int | None = None) -> jax.Array:
     """Advance every ray by up to ``round_budget`` bounces (v2 layout).
 
     ``round_budget`` may be a Python int or a traced scalar — it rides in
@@ -820,6 +821,11 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     in-kernel slab + front-to-back while-loop with a plain fori_loop over
     prefetched scalar ids; ONLY valid with round_budget == 1 (positions
     move after a bounce, staling the schedule).
+    ``tiles_per_pose``: pose-batched launches — ``scal`` then carries one
+    scalar row PER POSE ([P, _NSCAL]) and tile i reads row
+    i // tiles_per_pose, so one kernel traces P different
+    (emitter, receiver, yaw) poses over a pose-major ray state. The
+    kernel body is unchanged; only the SMEM block index map differs.
     """
     if precision not in _PRECISION_NAMES:
         raise ValueError(f"pallas_precision must be one of "
@@ -828,7 +834,7 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     ncols = state.shape[1]
     n_bands = params.n_bands
     assert ncols == state_ncols(n_bands), (ncols, n_bands)
-    scal = scal.at[0, v1._S_BUDGET].set(
+    scal = scal.at[:, v1._S_BUDGET].set(
         jnp.asarray(round_budget, jnp.float32))
     use_cull = boxes is not None
     rows_layout = attrs is None
@@ -860,8 +866,18 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
         count_visits=count_visits, diag=diag, tri_block=tri_block,
         sched_unroll=sched_unroll)
     grid = (n_tiles if n_active_tiles is None else n_active_tiles,)
+    if tiles_per_pose is None:
+        scal_map = lambda i: (0, 0)
+    else:
+        if n_tiles % tiles_per_pose:
+            raise ValueError(f"{n_tiles} tiles not a multiple of "
+                             f"tiles_per_pose={tiles_per_pose}")
+        if scal.shape[0] != n_tiles // tiles_per_pose:
+            raise ValueError(f"scal has {scal.shape[0]} pose rows for "
+                             f"{n_tiles // tiles_per_pose} pose groups")
+        scal_map = lambda i: (i // tiles_per_pose, 0)
     in_specs = [
-        pl.BlockSpec((1, v1._NSCAL), lambda i: (0, 0),
+        pl.BlockSpec((1, v1._NSCAL), scal_map,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec(coeffs.shape, lambda i: (0, 0)),
         pl.BlockSpec(attrs.shape, lambda i: (0, 0)),

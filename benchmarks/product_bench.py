@@ -174,7 +174,8 @@ def matrix():
 
     for backend_name, opts, pb in [
             ("pallas_rows_loop", bench_opts(), 1),
-            ("pallas_rows_vmap8", bench_opts(), 8),
+            ("pallas_fused8", bench_opts(), 8),     # fused pose batch x8
+            ("pallas_fused32", bench_opts(), 0),    # ONE fused launch
             ("xla_vmap8", ar.TracerOptions(block_size=65536,
                                            tri_chunk=1024), 8)]:
         sc = ar.scene_to_arrays(scene, opts.tri_chunk)

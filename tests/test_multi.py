@@ -44,6 +44,34 @@ def test_matrix_shape_and_single_pair_parity():
     np.testing.assert_allclose(irs1, irs, rtol=1e-5, atol=1e-9)
 
 
+def test_fused_pose_batch_matches_per_pair():
+    """The fused multi-pose launch (one kernel, per-tile pose scalar rows,
+    pose-grouped compaction, pose-major histogram) == independent per-pair
+    renders with the same key stream."""
+    sc, params, _ = setup()
+    popts = ar.TracerOptions(backend="pallas", pallas_version=2,
+                             pallas_interpret=True,
+                             pallas_round_budgets=(2, 4))
+    key = jax.random.PRNGKey(3)
+    emitters = np.array([[0.0, 0.0, 0.0], [2.0, 1.0, -1.0]], np.float32)
+    receivers = np.array([[3.0, 0.0, 1.0], [-2.0, -1.0, 2.0],
+                          [0.0, 2.0, -3.0]], np.float32)
+    yaws = np.array([0.0, 45.0, -90.0], np.float32)
+    fused = multi.render_ir_matrix(sc, key, emitters, receivers, yaws, 512,
+                                   params, popts, pair_batch=0)
+    assert fused.shape == (2, 3, 2, SR)
+    assert fused.sum() > 0
+    # per-pair reference renders through the same pallas options
+    for i, (si, li) in enumerate([(0, 0), (1, 2)]):
+        k = jax.random.fold_in(key, si * 3 + li)
+        dirs = sampling.sample_directions(k, 512)
+        single = np.asarray(ar.trace_ir(
+            sc, dirs, jnp.asarray(emitters[si]), jnp.asarray(receivers[li]),
+            float(yaws[li]), params, popts))
+        np.testing.assert_allclose(fused[si, li], single, rtol=1e-4,
+                                   atol=1e-8)
+
+
 def test_matrix_sharded_batches_pairs():
     """mesh branch: pairs ride inside the sharded dispatch (vmap outside
     shard_map) and match per-pair render_ir_sharded calls exactly."""
