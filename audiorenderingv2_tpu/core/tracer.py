@@ -512,6 +512,16 @@ def _histogram_from_events_posed(ev_bin_f, ev_w, ev_ear,
     """
     nb = params.ir_length
     p = ev_bin_f.shape[0]
+    # The chunk must keep the Pallas accumulator inside VMEM (fits_vmem);
+    # otherwise histogram_sum_banded silently falls back to the sort path,
+    # whose f32 running sum swamps small deposits at millions of events
+    # (core/binning.py caution) — shrink until the fast path holds (a
+    # 1-pose chunk equals the single-pose histogram's footprint).
+    from ..ops import histogram_pallas
+
+    while pose_chunk > 1 and not histogram_pallas.fits_vmem(
+            pose_chunk * 2 * nb, params.n_bands):
+        pose_chunk //= 2
     outs = []
     for start in range(0, p, pose_chunk):
         pb = ev_bin_f[start:start + pose_chunk]
@@ -542,6 +552,7 @@ def _histogram_from_events_posed(ev_bin_f, ev_w, ev_ear,
     return jnp.transpose(hist, (0, 1, 3, 2))
 
 
+@functools.partial(jax.jit, static_argnames=("n_rays", "params", "opts"))
 def render_ir_pose_batch(
     sc: SceneArrays,
     key: jax.Array,
@@ -559,7 +570,9 @@ def render_ir_pose_batch(
     (default identity) — the same stream the per-pair path uses, so the
     two paths agree up to f32 summation order. Returns
     [P, 2(, n_bands), ir_length]. Requirements: pallas v2 backend,
-    unclustered scene, hard binning.
+    unclustered scene, hard binning. Jitted end to end (sampling + trace +
+    posed histogram fuse into one program — per-op dispatch through the
+    remote tunnel measured dominant for eager sections, product_bench r4).
     """
     from ..ops import raytrace_pallas as rp
     from . import sampling

@@ -111,11 +111,18 @@ def run_experiment(renderer, samples: np.ndarray | None = None,
             t_proc = time.perf_counter() - t0
             del out
             # Device compute only (the reference's "convolute"): inputs are
-            # already device-resident, output is blocked on but not copied.
+            # already device-resident. The fence is a SCALAR device->host
+            # fetch (8 bytes) rather than block_until_ready, which was
+            # caught returning early through the remote-dispatch tunnel
+            # (docs/ROUND4.md 1b) — a fetched sum can only exist after the
+            # convolution has completed, and copying one float keeps the
+            # stat free of the bulk-transfer cost that belongs to
+            # "convolute process".
             t0 = time.perf_counter()
-            jax.block_until_ready(
-                renderer.convolve_audio_file_device(samples_dev))
+            out_dev = renderer.convolve_audio_file_device(samples_dev)
+            s_check = float(out_dev.sum())
             t_conv = time.perf_counter() - t0
+            assert np.isfinite(s_check)
         if i >= 0:
             render.add(t_render)
             if samples is not None:

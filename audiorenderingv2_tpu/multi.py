@@ -108,8 +108,10 @@ def render_ir_matrix(
         # per-pair key/direction stream as the paths below.
         from .core.tracer import render_ir_pose_batch
 
-        batch = n_pairs if pair_batch in (0, None) else min(
-            max(pair_batch, 8), n_pairs)
+        # Honor the caller's pair_batch exactly: it is a documented peak-
+        # memory bound (pair_batch * n_rays ray states), not a hint.
+        batch = n_pairs if pair_batch in (0, None) else min(pair_batch,
+                                                            n_pairs)
         chunks = []
         for start in range(0, n_pairs, batch):
             idx = jnp.arange(start, start + batch) % n_pairs

@@ -75,7 +75,14 @@ def convolve_file_sharded(samples: jax.Array, ir_stereo: jax.Array,
     s = segs.shape[0]
     if s == 0:
         return jnp.zeros((2, length), jnp.float32)
-    s_pad = -(-s // n_dev) * n_dev
+    # Pad with silent segments until the LAST REAL segment's k-1-second
+    # spill fits inside allocated output spans: the only halo that wraps
+    # (last shard -> shard 0) then originates from silent segments and is
+    # exactly zero, so dropping it at the wrap edge loses nothing. Without
+    # this, an exactly-divisible segment count would drop the real spill
+    # into a partial trailing second that the single-device engine keeps
+    # (kernels.cu:417 writes up to the input length).
+    s_pad = -(-(s + k - 1) // n_dev) * n_dev
     if s_pad != s:
         segs = jnp.pad(segs, ((0, s_pad - s), (0, 0)))  # silent segments
     local_s = s_pad // n_dev

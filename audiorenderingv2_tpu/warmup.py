@@ -83,11 +83,19 @@ def shipped_configs():
         from audiorenderingv2_tpu.core.tracer import render_ir
 
         sc = ar.scene_to_arrays(small_scene, small_opts.tri_chunk)
-        f = jax.jit(lambda k: render_ir(
-            sc, k, 1_000_000, jnp.zeros(3, jnp.float32),
-            jnp.array([2.5, 9.9, 0.0], jnp.float32), 0.0, params,
-            small_opts, with_stats=True))
-        return lambda: f(jax.random.PRNGKey(0))
+
+        # Pose arguments must be TRACED, exactly as bench.py's jit takes
+        # them — baking them as constants would hash to a different HLO
+        # module and the cache entry would never be hit by the bench
+        # (r4 review finding).
+        @jax.jit
+        def f(k, emitter, rec, yaw):
+            return render_ir(sc, k, 1_000_000, emitter, rec, yaw, params,
+                             small_opts, with_stats=True)
+
+        return lambda: f(jax.random.PRNGKey(0), jnp.zeros(3, jnp.float32),
+                         jnp.array([2.5, 9.9, 0.0], jnp.float32),
+                         jnp.float32(0.0))
 
     def large():
         import jax

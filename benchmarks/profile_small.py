@@ -63,13 +63,16 @@ def main():
     params = ar.TraceParams(sample_rate=16000, ir_length=32000,
                             base_power=3.62, max_bounces=100,
                             energy_threshold=0.0, hrtf_absorption_rate=0.9)
-    # Match bench.py's tuned r3 defaults (rbg RNG, unroll 4, [8,24,68]
-    # schedule) so the decomposition describes the shipped configuration.
+    # Match bench.py's tuned r4 defaults (rows layout, rbg RNG, unroll 8,
+    # [8,24,68] schedule) so the decomposition describes the shipped
+    # configuration.
     opts = ar.TracerOptions(backend="pallas", pallas_version=2,
                             tri_chunk=1024,
                             rng_impl=os.environ.get("AR2_BENCH_RNG", "rbg"),
+                            pallas_layout=os.environ.get("AR2_BENCH_LAYOUT",
+                                                         "rows"),
                             pallas_unroll=int(os.environ.get(
-                                "AR2_BENCH_UNROLL", 4)),
+                                "AR2_BENCH_UNROLL", 8)),
                             pallas_round_budgets=(8, 24, 68))
     sc = ar.scene_to_arrays(scene, opts.tri_chunk)
     print(f"device: {jax.devices()[0]}; tris={scene.n_triangles} "

@@ -34,10 +34,13 @@ def _ir(k_seconds, seed=1):
 
 
 @pytest.mark.parametrize("sig_seconds,k", [
-    (16, 2),   # one 1-second halo hop (the reference's 2 s IR shape)
-    (16, 4),   # 3-second halo: still within local_s=2 spans -> 2 hops
+    (16, 2),   # segment count divisible by 8: the wrap edge must still
+               # deliver the last real segment's spill (r4 review finding)
+    (16, 4),   # 3-second halo chaining across spans
     (9, 2),    # segment count not divisible by 8 -> silent padding
-    (8, 3),    # local_s=1 < k-1=2: halo chains across two shards
+    (8, 3),    # local_s small: halo chains across two shards
+    (16.5, 2),  # partial trailing second: reverb tail inside the input
+               # length is kept (kernels.cu:417 contract)
 ])
 def test_sharded_matches_single_device(sig_seconds, k):
     sig = _signal(sig_seconds)

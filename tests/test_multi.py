@@ -41,7 +41,9 @@ def test_matrix_shape_and_single_pair_parity():
     # pair_batch=1 (per-pair async dispatch, no vmap) gives the same matrix
     irs1 = multi.render_ir_matrix(sc, key, emitters, receivers, yaws, 512,
                                   params, opts, pair_batch=1)
-    np.testing.assert_allclose(irs1, irs, rtol=1e-5, atol=1e-9)
+    # two program structures -> f32 summation-order drift on chip
+    # (36/96000 bins at rel 5e-4 in the r4 on-chip run); exact on CPU
+    testing.assert_ir_close(irs1, irs, rtol=1e-5, atol=1e-9)
 
 
 def test_fused_pose_batch_matches_per_pair():

