@@ -89,6 +89,69 @@ def test_native_rng_multiband_on_chip():
     np.testing.assert_allclose(sums["native"], sums["sampled"], rtol=0.05)
 
 
+def test_shipped_bench_paths_on_chip():
+    """The r4 shipped configurations on real hardware: the rows-layout
+    small-scene path (bench.py default) and the schedule-mode clustered
+    path with tri_block=32 + sched_unroll=6 (large-scene default). Both
+    compared statistically against the XLA backend at depth — the
+    regression guard for the paths the headline numbers ride."""
+    import jax
+    import jax.numpy as jnp
+
+    import audiorenderingv2_tpu as ar
+    from audiorenderingv2_tpu import accel, testing
+    from audiorenderingv2_tpu.core import sampling
+
+    assert jax.devices()[0].platform == "tpu"
+    params = ar.TraceParams(sample_rate=16000, ir_length=32000,
+                            base_power=3.62, max_bounces=40)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(11), 4096)
+
+    def stat_close(a, b, tag):
+        a, b = np.asarray(a), np.asarray(b)
+        assert (a != 0).sum() > 100, tag
+        assert abs(a.sum() - b.sum()) / max(b.sum(), 1e-12) < 0.05, tag
+        na, nb = (a != 0).sum(), (b != 0).sum()
+        assert abs(int(na) - int(nb)) / max(na, 1) < 0.05, tag
+
+    # rows layout (small-scene default): unroll 8, 3-round schedule
+    v, t = testing.box_room((12.0, 8.0, 10.0))
+    scene = testing.scene_from_arrays(v, t, 0.3)
+    sc = ar.scene_to_arrays(scene, 128)
+    args = (jnp.zeros(3), jnp.array([2.0, 0.0, 1.0]), jnp.float32(15.0))
+    rows = np.asarray(jax.jit(lambda d: ar.trace_ir(
+        sc, d, *args, params,
+        ar.TracerOptions(backend="pallas", pallas_layout="rows",
+                         pallas_unroll=8,
+                         pallas_round_budgets=(8, 12, 20))))(dirs))
+    xla = np.asarray(jax.jit(lambda d: ar.trace_ir(
+        sc, d, *args, params,
+        ar.TracerOptions(backend="xla", block_size=4096,
+                         tri_chunk=128)))(dirs))
+    stat_close(rows, xla, "rows-vs-xla")
+
+    # schedule mode + tb32 + su6 (large-scene default) on a clustered scene
+    v, t = testing.icosphere(radius=6.0, subdivisions=3)
+    lscene = testing.scene_from_arrays(v, t, 0.2)
+    sorted_scene, clusters = accel.prepare_scene(lscene, cluster_size=32)
+    lsc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    lsc_plain = ar.scene_to_arrays(lscene, 128)
+    largs = (jnp.zeros(3), jnp.array([1.5, 0.5, -1.0]), jnp.float32(10.0))
+    lparams = ar.TraceParams(sample_rate=16000, ir_length=32000,
+                             base_power=3.62, max_bounces=12)
+    sched = np.asarray(jax.jit(lambda d: ar.trace_ir(
+        lsc, d, *largs, lparams,
+        ar.TracerOptions(backend="pallas", pallas_version=2,
+                         pallas_schedule=True, pallas_key_layout="dir72",
+                         pallas_tri_block=32,
+                         pallas_sched_unroll=6)))(dirs))
+    lxla = np.asarray(jax.jit(lambda d: ar.trace_ir(
+        lsc_plain, d, *largs, lparams,
+        ar.TracerOptions(backend="xla", block_size=4096,
+                         tri_chunk=128)))(dirs))
+    stat_close(sched, lxla, "sched-tb32-su6-vs-xla")
+
+
 def test_sharded_pallas_on_chip():
     """pallas_call composed with shard_map executed on REAL TPU hardware
     (mesh of however many chips are attached — 1 in this environment).
