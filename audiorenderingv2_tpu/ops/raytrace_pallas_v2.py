@@ -867,6 +867,7 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
         sched_unroll=sched_unroll)
     grid = (n_tiles if n_active_tiles is None else n_active_tiles,)
     if tiles_per_pose is None:
+        scal_block = (1, v1._NSCAL)
         scal_map = lambda i: (0, 0)
     else:
         if n_tiles % tiles_per_pose:
@@ -875,9 +876,16 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
         if scal.shape[0] != n_tiles // tiles_per_pose:
             raise ValueError(f"scal has {scal.shape[0]} pose rows for "
                              f"{n_tiles // tiles_per_pose} pose groups")
+        # Mosaic's block rule wants the trailing dims divisible by (8, 128)
+        # or equal to the array's — a (1, 16) block over a [P, 16] array is
+        # rejected on real hardware (interpret mode does not enforce this).
+        # Replicate each pose row x8 so blocks are (8, 16): the kernel
+        # still reads row 0 of its block.
+        scal = jnp.repeat(scal, 8, axis=0)
+        scal_block = (8, v1._NSCAL)
         scal_map = lambda i: (i // tiles_per_pose, 0)
     in_specs = [
-        pl.BlockSpec((1, v1._NSCAL), scal_map,
+        pl.BlockSpec(scal_block, scal_map,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec(coeffs.shape, lambda i: (0, 0)),
         pl.BlockSpec(attrs.shape, lambda i: (0, 0)),
