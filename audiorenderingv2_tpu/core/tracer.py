@@ -567,12 +567,20 @@ def render_ir_pose_batch(
     """Render P poses in one fused launch (the multi-pose fast path).
 
     Directions for pose i come from ``fold_in(key, pose_indices[i])``
-    (default identity) — the same stream the per-pair path uses, so the
-    two paths agree up to f32 summation order. Returns
-    [P, 2(, n_bands), ir_length]. Requirements: pallas v2 backend,
-    unclustered scene, hard binning. Jitted end to end (sampling + trace +
-    posed histogram fuse into one program — per-op dispatch through the
-    remote tunnel measured dominant for eager sections, product_bench r4).
+    (default identity), sampled under vmap — the same construction as
+    render_ir_matrix's vmapped path, so the two matrix paths agree up to
+    f32 summation order. Caveat: with ``rng_impl="rbg"`` a VMAPPED sampler
+    draws a different (equally valid) stream than an UNVMAPPED single-pose
+    render with the same key — the XLA RngBitGenerator does not commute
+    with batching the way threefry does — so fused-vs-single comparisons
+    under rbg are statistical (measured 0.4% energy difference at 250k
+    rays ~= 1 sigma of MC noise; benchmarks/results/fused_pose_r4.log).
+    With threefry the streams are identical (tests/test_multi.py pins
+    exact agreement). Returns [P, 2(, n_bands), ir_length]. Requirements:
+    pallas v2 backend, unclustered scene, hard binning. Jitted end to end
+    (sampling + trace + posed histogram fuse into one program — per-op
+    dispatch through the remote tunnel measured dominant for eager
+    sections, product_bench r4).
     """
     from ..ops import raytrace_pallas as rp
     from . import sampling

@@ -20,6 +20,7 @@ exceeded by the multi-pose matrix. This bench times both end-to-end:
 Writes benchmarks/results/product_bench_r4.json and prints progress.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -32,13 +33,12 @@ import jax
 import jax.numpy as jnp
 
 import audiorenderingv2_tpu as ar
-
-# CI-size override for CPU smoke runs (keeps chip runs at full scale).
-import os
-N_RAYS = int(os.environ.get("AR2_PB_RAYS", 1_000_000))
-N_RAYS_MATRIX = int(os.environ.get("AR2_PB_RAYS_MATRIX", 250_000))
 from audiorenderingv2_tpu import multi, streaming
 from audiorenderingv2_tpu.renderer import AudioRenderer
+
+# CI-size override for CPU smoke runs (keeps chip runs at full scale).
+N_RAYS = int(os.environ.get("AR2_PB_RAYS", 1_000_000))
+N_RAYS_MATRIX = int(os.environ.get("AR2_PB_RAYS_MATRIX", 250_000))
 
 OUT = Path(__file__).parent / "results" / "product_bench_r4.json"
 report = {}
