@@ -82,10 +82,10 @@ def run_experiment(renderer, samples: np.ndarray | None = None,
     timed around the CUDA kernels, kernels.cu:404-435) separately from
     "convolute process" (the whole host call including PCIe staging and
     normalization, main.cpp:566-621 / AudioRenderer.cpp:663-718). The same
-    split here: ``convolute`` times the jitted device convolution on
-    pre-staged device arrays (dispatch → block_until_ready), while
-    ``convolute_process`` times the full ``convolve_audio_file`` python
-    call — host→device upload, compute, device→host ``np.asarray``.
+    split here: ``convolute`` times one jitted convolve+checksum dispatch
+    on pre-staged device arrays, while ``convolute_process`` times the
+    full ``convolve_audio_file`` python call — host→device upload,
+    compute, device→host ``np.asarray``.
     """
     render = StageStats()
     convolute = StageStats()
@@ -111,16 +111,15 @@ def run_experiment(renderer, samples: np.ndarray | None = None,
             t_proc = time.perf_counter() - t0
             del out
             # Device compute only (the reference's "convolute"): inputs are
-            # already device-resident. The fence is a SCALAR device->host
-            # fetch (8 bytes) rather than block_until_ready, which was
-            # caught returning early through the remote-dispatch tunnel
-            # (docs/ROUND4.md 1b) — a fetched sum can only exist after the
-            # convolution has completed, and copying one float keeps the
-            # stat free of the bulk-transfer cost that belongs to
-            # "convolute process".
+            # already device-resident; ONE dispatch computes convolve +
+            # checksum inside the jitted program and fetches a single
+            # float — the reliable fence (block_until_ready was caught
+            # returning early through the remote-dispatch tunnel, and a
+            # separate eager .sum() would add a second dispatch round trip
+            # inside the timed window; docs/ROUND4.md 1b).
             t0 = time.perf_counter()
-            out_dev = renderer.convolve_audio_file_device(samples_dev)
-            s_check = float(out_dev.sum())
+            s_check = renderer.convolve_audio_file_device_checksum(
+                samples_dev)
             t_conv = time.perf_counter() - t0
             assert np.isfinite(s_check)
         if i >= 0:

@@ -52,6 +52,9 @@ def render_ir_matrix(
 
     Returns float32 [S, L, 2, ir_length].
     """
+    if pair_batch is not None and pair_batch < 0:
+        raise ValueError(f"pair_batch must be >= 0 (0 = all pairs at "
+                         f"once), got {pair_batch}")
     emitters = np.atleast_2d(np.asarray(emitters, np.float32))
     receivers = np.atleast_2d(np.asarray(receivers, np.float32))
     # Broadcast a scalar yaw to every listener; mismatched lengths are an

@@ -19,6 +19,7 @@ set_hrtf_absorption_rate / setMonoOutput), and full_render_cycle().
 from __future__ import annotations
 
 import dataclasses
+import functools
 import threading
 
 import jax
@@ -30,6 +31,21 @@ from .core.tracer import TracerOptions, render_ir, scene_to_arrays
 from .core.tracer_ref import TraceParams
 from .ops import convolve
 from .scene import Scene
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
+def _stereo_conv_sum(samples_dev, ir_stereo, sample_rate):
+    """convolve + reduce in ONE compiled program (timing fence)."""
+    return jnp.sum(convolve.convolve_file_stereo(samples_dev, ir_stereo,
+                                                 sample_rate))
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "band_edges",
+                                             "banded_fn"))
+def _banded_conv_sum(samples_dev, ir_banded, sample_rate, band_edges,
+                     banded_fn):
+    return jnp.sum(banded_fn(samples_dev, ir_banded, sample_rate,
+                             band_edges))
 
 
 class AudioRenderer:
@@ -241,6 +257,29 @@ class AudioRenderer:
                 self.params.sample_rate, self.band_edges)
         return convolve.convolve_file_stereo(
             samples_dev, jnp.asarray(self._ir), self.params.sample_rate)
+
+    def convolve_audio_file_device_checksum(self, samples_dev) -> float:
+        """Single-dispatch convolution returning a scalar checksum.
+
+        The timing fence for experiment.run_experiment's "convolute" stat:
+        the sum is computed INSIDE the jitted program, so one dispatch
+        covers convolve + reduce and the fetched float can only exist once
+        the convolution has completed. (A separate eager ``.sum()`` after
+        ``convolve_audio_file_device`` would add a second remote-dispatch
+        round trip inside the timed window — the latency artifact
+        docs/ROUND4.md 1b documents.)
+        """
+        if self._ir is None:
+            raise RuntimeError("render() an IR first")
+        if self._ir.ndim == 3:
+            from .ops import filterbank
+
+            return float(_banded_conv_sum(
+                samples_dev, jnp.asarray(self._ir),
+                self.params.sample_rate, self.band_edges,
+                filterbank.convolve_file_banded))
+        return float(_stereo_conv_sum(samples_dev, jnp.asarray(self._ir),
+                                      self.params.sample_rate))
 
     def convolve_live_input(self, block: np.ndarray, ring_buffer) -> None:
         """Convolve one live input block and accumulate into ``ring_buffer``.

@@ -12,6 +12,23 @@ from dataclasses import dataclass, field
 import jax
 
 
+def device_fence(out) -> float:
+    """Reliable completion fence for timed device work.
+
+    Materializes the first array leaf of ``out`` to host and returns its
+    float sum. ``jax.block_until_ready`` was observed to return early
+    through remote-dispatch backends (the axon tunnel; docs/ROUND4.md 1b),
+    yielding physically impossible timings — a device->host copy cannot
+    complete before the computation has, and the returned checksum lets
+    callers assert the result is finite. The ONE shared implementation for
+    bench.py, warmup.py, and the tune harnesses.
+    """
+    import numpy as np
+
+    leaf = jax.tree.leaves(out)[0]
+    return float(np.asarray(leaf).sum())
+
+
 @dataclass
 class Timer:
     """Accumulating named wall-clock timer; call in a with-block."""

@@ -34,21 +34,15 @@ def _timeit(fn, n=2):
     import jax
     import numpy as np
 
-    def sync(out):
-        # Materialize the first array leaf to host: through the axon
-        # tunnel block_until_ready was observed to stop blocking partway
-        # into a process (docs/ROUND4.md 1b); a device->host copy cannot
-        # complete before the computation has.
-        leaf = jax.tree.leaves(out)[0]
-        np.asarray(leaf)
+    from audiorenderingv2_tpu.utils.profiling import device_fence
 
     t0 = time.time()
-    sync(fn())
+    device_fence(fn())
     cold_s = time.time() - t0
     ts = []
     for _ in range(n):
         t0 = time.time()
-        sync(fn())
+        device_fence(fn())
         ts.append(time.time() - t0)
     return cold_s, float(np.median(ts))
 
@@ -59,9 +53,15 @@ def shipped_configs():
 
     import audiorenderingv2_tpu as ar
 
+    # Scene construction must match bench.py EXACTLY (same materials list):
+    # the scene arrays are closure-baked into the HLO as constants, so any
+    # difference changes the compile-cache key and the warming is wasted.
     ref_scene = "/root/reference/assets/models/3D_U.obj"
+    materials = [ar.MaterialSpec(n, a) for n, a in
+                 [("low", 0.1), ("med", 0.3), ("high", 0.6),
+                  ("red", 0.2), ("blue", 0.9)]]
     if os.path.exists(ref_scene):
-        small_scene = ar.load_scene(ref_scene, [])
+        small_scene = ar.load_scene(ref_scene, materials)
     else:
         from audiorenderingv2_tpu import testing
 
@@ -84,18 +84,22 @@ def shipped_configs():
 
         sc = ar.scene_to_arrays(small_scene, small_opts.tri_chunk)
 
-        # Pose arguments must be TRACED, exactly as bench.py's jit takes
-        # them — baking them as constants would hash to a different HLO
-        # module and the cache entry would never be hit by the bench
-        # (r4 review finding).
+        # The jit must replicate bench.py's byte for byte: pose arguments
+        # TRACED (not constant-folded), and the wrapper NAMED `render` —
+        # JAX's persistent cache key hashes the module's @sym_name, which
+        # carries the jitted function's name, so `jit_f` can never hit a
+        # `jit_render` entry even with an identical body (r4 review
+        # finding; verified against bench_r4.log's 125 s post-warmup
+        # compile).
         @jax.jit
-        def f(k, emitter, rec, yaw):
-            return render_ir(sc, k, 1_000_000, emitter, rec, yaw, params,
+        def render(key, emitter, rec, yaw):
+            return render_ir(sc, key, 1_000_000, emitter, rec, yaw, params,
                              small_opts, with_stats=True)
 
-        return lambda: f(jax.random.PRNGKey(0), jnp.zeros(3, jnp.float32),
-                         jnp.array([2.5, 9.9, 0.0], jnp.float32),
-                         jnp.float32(0.0))
+        return lambda: render(jax.random.PRNGKey(0),
+                              jnp.zeros(3, jnp.float32),
+                              jnp.array([2.5, 9.9, 0.0], jnp.float32),
+                              jnp.float32(0.0))
 
     def large():
         import jax
@@ -120,11 +124,15 @@ def shipped_configs():
                                  pallas_cell_bits=5,
                                  pallas_tri_block=32,
                                  pallas_sched_unroll=6)
-        f = jax.jit(lambda k: render_ir(
-            lsc, k, 1_000_000, jnp.zeros(3, jnp.float32),
-            jnp.array([6.0, 1.0, -8.0], jnp.float32), 0.0, lparams, lopts,
-            with_stats=True))
-        return lambda: f(jax.random.PRNGKey(0))
+        # Named `render_large` to match bench.py's jit (cache-key naming,
+        # see the small() comment).
+        @jax.jit
+        def render_large(k):
+            return render_ir(lsc, k, 1_000_000, jnp.zeros(3, jnp.float32),
+                             jnp.array([6.0, 1.0, -8.0], jnp.float32), 0.0,
+                             lparams, lopts, with_stats=True)
+
+        return lambda: render_large(jax.random.PRNGKey(0))
 
     def renderer_default():
         import numpy as np

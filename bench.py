@@ -124,19 +124,22 @@ def main():
         f"ir sum={float(np.asarray(ir).sum()):.4e}, "
         f"nonzero bins={int((np.asarray(ir) != 0).sum())}")
 
-    # Timed sections materialize the IR to host (np.asarray) instead of
-    # trusting block_until_ready: through the axon tunnel the latter was
-    # observed to stop blocking partway into a process, yielding
-    # physically impossible sub-ms "renders" (docs/ROUND4.md 1b). The
-    # [2, 32000] copy is ~256 KB — noise at these timescales — and a
-    # number can then only be produced by a completed render.
+    # Timed sections end with the shared device fence (materialize-to-host
+    # checksum, utils/profiling.device_fence) instead of trusting
+    # block_until_ready: through the axon tunnel the latter was observed
+    # to stop blocking partway into a process, yielding physically
+    # impossible sub-ms "renders" (docs/ROUND4.md 1b). The [2, 32000]
+    # copy is ~256 KB — noise at these timescales — and a number can then
+    # only be produced by a completed render.
+    from audiorenderingv2_tpu.utils.profiling import device_fence
+
     times = []
     checks = []
     for i in range(5):
         k = jax.random.fold_in(key, i + 1)
         t0 = time.time()
         out_ir, _ = render(k, emitter, rec, yaw)
-        checks.append(float(np.asarray(out_ir).sum()))
+        checks.append(device_fence(out_ir))
         times.append(time.time() - t0)
     t_render = float(np.median(times))
     assert all(np.isfinite(c) and c > 0 for c in checks), checks
@@ -224,7 +227,7 @@ def main():
             for i in range(3):
                 t0 = time.time()
                 l_ir, _ = render_large(jax.random.fold_in(key, 100 + i))
-                lchecks.append(float(np.asarray(l_ir).sum()))  # hard sync
+                lchecks.append(device_fence(l_ir))
                 lt.append(time.time() - t0)
             l_render = float(np.median(lt))
             assert all(np.isfinite(c) and c > 0 for c in lchecks), lchecks

@@ -42,8 +42,12 @@ def test_matrix_shape_and_single_pair_parity():
     irs1 = multi.render_ir_matrix(sc, key, emitters, receivers, yaws, 512,
                                   params, opts, pair_batch=1)
     # two program structures -> f32 summation-order drift on chip
-    # (36/96000 bins at rel 5e-4 in the r4 on-chip run); exact on CPU
-    testing.assert_ir_close(irs1, irs, rtol=1e-5, atol=1e-9)
+    # (36/96000 bins at rel 5e-4 in the r4 on-chip run); exact on CPU.
+    # Flatten to per-(source, listener, ear) rows so the statistical
+    # mode's energy check binds at that granularity, not per source.
+    testing.assert_ir_close(irs1.reshape(-1, irs1.shape[-1]),
+                            irs.reshape(-1, irs.shape[-1]),
+                            rtol=1e-5, atol=1e-9)
 
 
 def test_fused_pose_batch_matches_per_pair():
