@@ -602,7 +602,12 @@ def render_ir_pose_batch(
         unroll=opts.pallas_unroll,
         partition_mode=opts.pallas_partition_mode,
         layout=opts.pallas_layout,
-        tri_block=opts.pallas_tri_block)
+        tri_block=opts.pallas_tri_block,
+        schedule_mode=opts.pallas_schedule,
+        key_layout=opts.pallas_key_layout,
+        cell_bits=opts.pallas_cell_bits,
+        sort_mode=opts.pallas_sort_mode,
+        sched_unroll=opts.pallas_sched_unroll)
     return _histogram_from_events_posed(ev_bin_f, ev_w, ev_ear, params)
 
 

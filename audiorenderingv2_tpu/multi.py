@@ -101,7 +101,9 @@ def render_ir_matrix(
         jnp.arange(n_pairs, dtype=jnp.uint32))
 
     fused_ok = (mesh is None and opts.backend == "pallas"
-                and opts.pallas_version == 2 and sc.cluster_boxes is None
+                and opts.pallas_version == 2
+                # clustered scenes batch through schedule mode
+                and (sc.cluster_boxes is None or opts.pallas_schedule)
                 and not opts.soft_binning and not opts.pallas_native_rng
                 and params.n_bands == 1)
     if fused_ok and pair_batch != 1:

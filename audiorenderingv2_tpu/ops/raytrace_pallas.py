@@ -721,7 +721,8 @@ def trace_events_pallas(
     jax.jit,
     static_argnames=("params", "n_total_rays_per_pose", "interpret",
                      "compact", "round_budgets", "unroll", "partition_mode",
-                     "layout", "tri_block"))
+                     "layout", "tri_block", "schedule_mode", "key_layout",
+                     "cell_bits", "sort_mode", "sched_unroll"))
 def trace_events_pose_batch(
     sc,
     directions: jax.Array,
@@ -737,8 +738,13 @@ def trace_events_pose_batch(
     partition_mode: str = "scatter",
     layout: str = "auto",
     tri_block: int = 16,
+    schedule_mode: bool = False,
+    key_layout: str = "dir72",
+    cell_bits: int = 5,
+    sort_mode: str = "gather",
+    sched_unroll: int = 1,
 ):
-    """Trace P poses in ONE fused kernel launch (v2, unclustered scenes).
+    """Trace P poses in ONE fused kernel launch (v2).
 
     The reference renders one (emitter, receiver) pair per launch
     (LaunchParams.h:20-43); the TPU multi-pose matrix wants S x L pairs.
@@ -749,13 +755,18 @@ def trace_events_pose_batch(
     pose, and the kernel reads its pose's (emitter, receiver, yaw, e0)
     scalar row through the SMEM BlockSpec index map (tile i -> row
     i // tiles_per_pose). The kernel body is byte-identical to the
-    single-pose one; between rounds the alive-first partition runs
-    per-pose (vmapped — stable within each pose's segment, so tiles never
-    mix poses).
+    single-pose one; between rounds compaction runs per-pose (vmapped —
+    stable within each pose's segment, so tiles never mix poses).
+
+    Clustered scenes run in SCHEDULE MODE (``schedule_mode=True``,
+    enforced): ``tile_schedule`` is already per-tile, so it works on the
+    pose-major tile array unchanged — the per-tile candidate lists and
+    the per-pose coherent (dir72) sort compose with the pose scalar rows
+    with no kernel change. This is the multi-listener path for LARGE
+    scenes.
 
     Args:
-      sc: SceneArrays WITHOUT clusters (rows/group layout; the clustered
-        schedule path stays single-pose).
+      sc: SceneArrays; with cluster_boxes set, schedule_mode is required.
       directions: [P, N, 3] unit directions (pose-major).
       emitters / receivers: [P, 3]; receiver_yaws_deg: [P].
       n_total_rays_per_pose: energy normalization count (defaults to N).
@@ -765,9 +776,12 @@ def trace_events_pose_batch(
     """
     from . import raytrace_pallas_v2 as v2
 
-    if sc.cluster_boxes is not None:
-        raise ValueError("pose-batched tracing supports unclustered scenes "
-                         "(rows/group layout) only")
+    clustered = sc.cluster_boxes is not None
+    if clustered and not schedule_mode:
+        raise ValueError("pose-batched tracing on clustered scenes "
+                         "requires schedule_mode=True")
+    if schedule_mode and not clustered:
+        raise ValueError("schedule_mode needs a clustered scene")
     p, n = directions.shape[0], directions.shape[1]
     n_real = n_total_rays_per_pose if n_total_rays_per_pose is not None else n
     n_pad = ((n + _LANES - 1) // _LANES) * _LANES
@@ -778,7 +792,7 @@ def trace_events_pose_batch(
 
     coeffs, attrs, boxes = v2.pack_tris_v2(sc, n_bands, layout=layout,
                                            tri_block=tri_block)
-    assert boxes is None
+    assert (boxes is not None) == clustered
 
     e0 = params.base_power / (n_real * constants.SPHERE_VOLUME)
     yaws = jnp.deg2rad(jnp.asarray(receiver_yaws_deg, jnp.float32))
@@ -794,7 +808,11 @@ def trace_events_pose_batch(
       jnp.asarray(emitters, jnp.float32))                  # [P, n_pad, nc]
     tiles = v2.to_tiles(state.reshape(p * n_pad, ncols))
 
-    if round_budgets is not None:
+    if schedule_mode:
+        if round_budgets is not None and any(b != 1 for b in round_budgets):
+            raise ValueError("schedule_mode requires 1-bounce rounds")
+        budgets = [1] * params.max_bounces
+    elif round_budgets is not None:
         if sum(round_budgets) < params.max_bounces:
             raise ValueError(f"round_budgets {round_budgets} sum below "
                              f"max_bounces {params.max_bounces}")
@@ -805,14 +823,28 @@ def trace_events_pose_batch(
         budgets = _round_schedule(params.max_bounces)
 
     def compact_tiles(tiles):
+        # Per-pose compaction (vmapped): alive-first partition, or — on
+        # clustered scenes — the coherent dir72 sort, each stable within
+        # its pose's segment so tiles never mix poses.
         st = v2.from_tiles(tiles).reshape(p, n_pad, ncols)
-        st = jax.vmap(lambda s: _partition_alive_first(s, partition_mode))(st)
+        if clustered:
+            def one(s):
+                keys = _compaction_keys(s, True, cell_bits=cell_bits,
+                                        key_layout=key_layout)
+                return _sort_state_by_keys(s, keys, mode=sort_mode)
+
+            st = jax.vmap(one)(st)
+        else:
+            st = jax.vmap(
+                lambda s: _partition_alive_first(s, partition_mode))(st)
         return v2.to_tiles(st.reshape(p * n_pad, ncols))
 
     if len(budgets) == 1:
-        tiles = v2.trace_round_v2(tiles, coeffs, attrs, None, scal, params,
+        sched1 = v2.tile_schedule(tiles, boxes) if schedule_mode else None
+        tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal, params,
                                   budgets[0], interpret, unroll=unroll,
-                                  tri_block=tri_block,
+                                  tri_block=tri_block, sched=sched1,
+                                  sched_unroll=sched_unroll,
                                   tiles_per_pose=tiles_per_pose)
     else:
         n_rounds = len(budgets)
@@ -820,9 +852,11 @@ def trace_events_pose_batch(
         def body(carry, xb):
             tiles = carry
             i, b = xb
-            tiles = v2.trace_round_v2(tiles, coeffs, attrs, None, scal,
+            sched = v2.tile_schedule(tiles, boxes) if schedule_mode else None
+            tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
                                       params, b, interpret, unroll=unroll,
-                                      tri_block=tri_block,
+                                      tri_block=tri_block, sched=sched,
+                                      sched_unroll=sched_unroll,
                                       tiles_per_pose=tiles_per_pose)
             if compact:
                 tiles = jax.lax.cond(i < n_rounds - 1, compact_tiles,

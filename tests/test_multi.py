@@ -78,6 +78,40 @@ def test_fused_pose_batch_matches_per_pair():
                                    atol=1e-8)
 
 
+def test_fused_pose_batch_clustered_schedule():
+    """Pose batching through the clustered schedule path: per-tile
+    candidate lists compose with per-tile pose scalars + per-pose coherent
+    sorts (the multi-listener path for LARGE scenes)."""
+    from audiorenderingv2_tpu import accel, testing
+
+    v, t = testing.icosphere(radius=6.0, subdivisions=3)  # 1280 tris
+    scene = testing.scene_from_arrays(v, t, 0.2)
+    sorted_scene, clusters = accel.prepare_scene(scene, cluster_size=32)
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    params = ar.TraceParams(sample_rate=8000, ir_length=8000,
+                            base_power=3.62, max_bounces=5)
+    popts = ar.TracerOptions(backend="pallas", pallas_version=2,
+                             pallas_interpret=True, pallas_schedule=True,
+                             pallas_key_layout="dir72", pallas_tri_block=32,
+                             pallas_sched_unroll=2)
+    key = jax.random.PRNGKey(8)
+    emitters = np.zeros((2, 3), np.float32)
+    receivers = np.array([[1.5, 0.5, -1.0], [-2.0, 1.0, 2.0]], np.float32)
+    yaws = np.array([10.0, -45.0], np.float32)
+    fused = multi.render_ir_matrix(sc, key, emitters, receivers, yaws, 256,
+                                   params, popts, pair_batch=0)
+    assert fused.shape == (2, 2, 2, 8000)
+    assert fused.sum() > 0
+    for si, li in [(0, 1), (1, 0)]:
+        k = jax.random.fold_in(key, si * 2 + li)
+        dirs = sampling.sample_directions(k, 256)
+        single = np.asarray(ar.trace_ir(
+            sc, dirs, jnp.asarray(emitters[si]), jnp.asarray(receivers[li]),
+            float(yaws[li]), params, popts))
+        np.testing.assert_allclose(fused[si, li], single, rtol=1e-4,
+                                   atol=1e-8)
+
+
 def test_matrix_sharded_batches_pairs():
     """mesh branch: pairs ride inside the sharded dispatch (vmap outside
     shard_map) and match per-pair render_ir_sharded calls exactly."""
