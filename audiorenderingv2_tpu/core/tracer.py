@@ -577,7 +577,11 @@ def render_ir_pose_batch(
     rays ~= 1 sigma of MC noise; benchmarks/results/fused_pose_r4.log).
     With threefry the streams are identical (tests/test_multi.py pins
     exact agreement). Returns [P, 2(, n_bands), ir_length]. Requirements:
-    pallas v2 backend, unclustered scene, hard binning. Jitted end to end
+    pallas v2 backend, hard binning; clustered scenes need
+    ``opts.pallas_schedule`` (the late-r4 multi-listener large-scene
+    path). Pose-batch-unsupported knobs: pallas_sort_interval,
+    pallas_dynamic_grid (every clustered round re-sorts coherently).
+    Jitted end to end
     (sampling + trace + posed histogram fuse into one program — per-op
     dispatch through the remote tunnel measured dominant for eager
     sections, product_bench r4).
@@ -606,6 +610,7 @@ def render_ir_pose_batch(
         schedule_mode=opts.pallas_schedule,
         key_layout=opts.pallas_key_layout,
         cell_bits=opts.pallas_cell_bits,
+        dir_split=opts.pallas_dir_split,
         sort_mode=opts.pallas_sort_mode,
         sched_unroll=opts.pallas_sched_unroll)
     return _histogram_from_events_posed(ev_bin_f, ev_w, ev_ear, params)

@@ -722,7 +722,7 @@ def trace_events_pallas(
     static_argnames=("params", "n_total_rays_per_pose", "interpret",
                      "compact", "round_budgets", "unroll", "partition_mode",
                      "layout", "tri_block", "schedule_mode", "key_layout",
-                     "cell_bits", "sort_mode", "sched_unroll"))
+                     "cell_bits", "dir_split", "sort_mode", "sched_unroll"))
 def trace_events_pose_batch(
     sc,
     directions: jax.Array,
@@ -741,6 +741,7 @@ def trace_events_pose_batch(
     schedule_mode: bool = False,
     key_layout: str = "dir72",
     cell_bits: int = 5,
+    dir_split: bool = False,
     sort_mode: str = "gather",
     sched_unroll: int = 1,
 ):
@@ -809,8 +810,14 @@ def trace_events_pose_batch(
     tiles = v2.to_tiles(state.reshape(p * n_pad, ncols))
 
     if schedule_mode:
-        if round_budgets is not None and any(b != 1 for b in round_budgets):
-            raise ValueError("schedule_mode requires 1-bounce rounds")
+        if round_budgets is not None:
+            if any(b != 1 for b in round_budgets):
+                raise ValueError("schedule_mode requires 1-bounce rounds")
+            if sum(round_budgets) < params.max_bounces:
+                raise ValueError(
+                    f"round_budgets {round_budgets} sum to "
+                    f"{sum(round_budgets)} < max_bounces "
+                    f"{params.max_bounces}; deep paths would be truncated")
         budgets = [1] * params.max_bounces
     elif round_budgets is not None:
         if sum(round_budgets) < params.max_bounces:
@@ -830,6 +837,7 @@ def trace_events_pose_batch(
         if clustered:
             def one(s):
                 keys = _compaction_keys(s, True, cell_bits=cell_bits,
+                                        dir_split=dir_split,
                                         key_layout=key_layout)
                 return _sort_state_by_keys(s, keys, mode=sort_mode)
 
