@@ -133,9 +133,11 @@ def main():
     # only be produced by a completed render.
     from audiorenderingv2_tpu.utils.profiling import device_fence
 
+    # 9 samples (was 5): remote-dispatch jitter spreads single renders by
+    # up to ~20% run to run; a wider median is steadier at ~0.4 s cost.
     times = []
     checks = []
-    for i in range(5):
+    for i in range(9):
         k = jax.random.fold_in(key, i + 1)
         t0 = time.time()
         out_ir, _ = render(k, emitter, rec, yaw)
