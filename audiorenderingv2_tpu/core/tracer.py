@@ -499,7 +499,8 @@ def _histogram_from_events(ev_bin_f, ev_w, ev_ear, params: TraceParams,
 
 def _histogram_from_events_posed(ev_bin_f, ev_w, ev_ear,
                                  params: TraceParams,
-                                 pose_chunk: int = 16) -> jax.Array:
+                                 pose_chunk: int = 16,
+                                 use_pallas_hist: bool | None = None) -> jax.Array:
     """Pose-batched events -> [P, 2(, n_bands), ir_length] histograms.
 
     One flat histogram per chunk of poses (flat bin =
@@ -534,7 +535,8 @@ def _histogram_from_events_posed(ev_bin_f, ev_w, ev_ear,
         flat = jnp.where(active & (b >= 0) & (b < nb),
                          (pose * 2 + pe) * nb + b, pc * 2 * nb)
         hist = binning.histogram_sum_banded(
-            flat.reshape(-1), pw.reshape(-1, params.n_bands), pc * 2 * nb)
+            flat.reshape(-1), pw.reshape(-1, params.n_bands), pc * 2 * nb,
+            use_pallas=use_pallas_hist)
         hist = hist.reshape(pc, 2, nb, params.n_bands)
         if not params.is_mono:
             scale = 1.0 - params.hrtf_absorption_rate
@@ -589,6 +591,12 @@ def render_ir_pose_batch(
     from ..ops import raytrace_pallas as rp
     from . import sampling
 
+    if opts.soft_binning:
+        # The docstring's "hard binning only" enforced: silently hard-binning
+        # a soft-binning request would corrupt a gradient workload.
+        raise ValueError("render_ir_pose_batch is a forward-rendering path "
+                         "(hard binning); use render_ir per pose for "
+                         "soft_binning gradients")
     p = emitters.shape[0]
     if pose_indices is None:
         pose_indices = jnp.arange(p, dtype=jnp.uint32)
@@ -612,8 +620,11 @@ def render_ir_pose_batch(
         cell_bits=opts.pallas_cell_bits,
         dir_split=opts.pallas_dir_split,
         sort_mode=opts.pallas_sort_mode,
-        sched_unroll=opts.pallas_sched_unroll)
-    return _histogram_from_events_posed(ev_bin_f, ev_w, ev_ear, params)
+        sched_unroll=opts.pallas_sched_unroll,
+        precision=opts.pallas_precision)
+    return _histogram_from_events_posed(
+        ev_bin_f, ev_w, ev_ear, params,
+        use_pallas_hist=opts.pallas_histogram)
 
 
 def trace_ir(

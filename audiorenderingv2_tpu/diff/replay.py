@@ -151,7 +151,9 @@ def record_paths_pallas(sc: SceneArrays, dirs: jax.Array, emitter: jax.Array,
     e0 = params.base_power / (n_total * constants.SPHERE_VOLUME)
     interpret = opts.pallas_interpret
 
-    coeffs, attrs, boxes = rp2.pack_tris_v2(sc, params.n_bands)
+    coeffs, attrs, boxes = rp2.pack_tris_v2(sc, params.n_bands,
+                                            layout=opts.pallas_layout,
+                                            tri_block=opts.pallas_tri_block)
     yaw_rad = jnp.deg2rad(jnp.asarray(receiver_yaw_deg, jnp.float32))
     scal = rp._scalars(jnp.asarray(emitter, jnp.float32),
                        jnp.asarray(rec_center, jnp.float32),
@@ -166,15 +168,31 @@ def record_paths_pallas(sc: SceneArrays, dirs: jax.Array, emitter: jax.Array,
     state = state.at[:, rp._C_RECVD].set(-1.0)
     tiles = rp2.to_tiles(state)
     coherent = boxes is not None
+    # Clustered scenes record through SCHEDULE MODE when opts ask for it —
+    # the same per-round XLA-side candidate lists the forward fast path
+    # uses (r4 measured the legacy in-kernel traversal at ~373 ms/round on
+    # the 20k-tri office; schedule mode is the production-scale gradient
+    # recording path, VERDICT r4 #4).
+    schedule_mode = coherent and opts.pallas_schedule
 
     def round_step(tiles, _):
+        sched = rp2.tile_schedule(tiles, boxes) if schedule_mode else None
         tiles = rp2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
-                                   params, 1, interpret)
+                                   params, 1, interpret,
+                                   opts.pallas_precision, sched=sched,
+                                   tri_block=opts.pallas_tri_block,
+                                   sched_unroll=opts.pallas_sched_unroll)
         st = rp2.from_tiles(tiles)
         rid = st[:, rp._C_RAYID].astype(jnp.int32)
         ltri = st[:, rp._C_LTRI].astype(jnp.int32)
-        st = (rp._sort_state_by_keys(st, rp._compaction_keys(st, True))
-              if coherent else rp._partition_alive_first(st))
+        st = (rp._sort_state_by_keys(
+                  st, rp._compaction_keys(
+                      st, True, cell_bits=opts.pallas_cell_bits,
+                      dir_split=opts.pallas_dir_split,
+                      key_layout=opts.pallas_key_layout),
+                  mode=opts.pallas_sort_mode)
+              if coherent else
+              rp._partition_alive_first(st, opts.pallas_partition_mode))
         return rp2.to_tiles(st), (rid, ltri)
 
     tiles, (rids, ltris) = jax.lax.scan(round_step, tiles, None,

@@ -105,7 +105,9 @@ def render_ir_matrix(
                 # clustered scenes batch through schedule mode
                 and (sc.cluster_boxes is None or opts.pallas_schedule)
                 and not opts.soft_binning and not opts.pallas_native_rng
-                and params.n_bands == 1)
+                # banded IRs ride the extra state columns (v2 layouts
+                # carry up to 8 bands; raytrace_pallas_v2.state_ncols)
+                and params.n_bands <= 8)
     if fused_ok and pair_batch != 1:
         # Fused pose batch: ONE kernel launch traces every pair — each
         # 128-ray tile reads its pair's (emitter, receiver, yaw) scalar
@@ -117,15 +119,26 @@ def render_ir_matrix(
         # memory bound (pair_batch * n_rays ray states), not a hint.
         batch = n_pairs if pair_batch in (0, None) else min(pair_batch,
                                                             n_pairs)
+        # Full-size chunks share one compiled executable; an indivisible
+        # tail would be index-wrapped to the same shape, re-rendering
+        # already-computed pairs at full cost (e.g. 33 pairs at batch 32
+        # would nearly double the work). When the waste exceeds half a
+        # chunk, the tail instead runs at its own (smaller) shape — one
+        # extra compile, bounded by the chunk cost it saves thereafter.
+        tail = n_pairs % batch
         chunks = []
         for start in range(0, n_pairs, batch):
-            idx = jnp.arange(start, start + batch) % n_pairs
+            b = batch
+            if tail and start + batch > n_pairs and batch - tail > batch // 2:
+                b = tail
+            idx = jnp.arange(start, start + b) % n_pairs
             irs = render_ir_pose_batch(sc, key, n_rays, em_p[idx],
                                        rc_p[idx], yw_p[idx], params, opts,
                                        pose_indices=idx)
             chunks.append(np.asarray(irs))
         flat = np.concatenate(chunks)[:n_pairs]
-        return flat.reshape(s, l, 2, params.ir_length)
+        # [S, L, 2, ir_length] — banded IRs carry the band axis before L.
+        return flat.reshape((s, l) + flat.shape[1:])
     if mesh is None and pair_batch == 1:
         # Per-pair async dispatch of the plain single-pose program. On the
         # remote-dispatch chip this measured WORSE than the vmapped batch

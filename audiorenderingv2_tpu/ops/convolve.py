@@ -107,8 +107,15 @@ def convolve_live(block: jax.Array, ir_stereo: jax.Array,
     meant for the CPU/live path. Output dtype is always float32 (the
     stream format conversion the reference does at the RtAudio boundary).
     """
+    if double_precision and not jax.config.jax_enable_x64:
+        import warnings
+
+        warnings.warn(
+            "convolve_live(double_precision=True) needs "
+            'jax.config.update("jax_enable_x64", True); running in float32 '
+            "instead (the f64 request cannot take effect)", stacklevel=2)
     dtype = (jnp.float64 if double_precision and jax.config.jax_enable_x64
-             else jnp.float32)  # degrade silently when x64 is off
+             else jnp.float32)
     block = jnp.asarray(block, dtype)
     ir_stereo = jnp.asarray(ir_stereo, dtype)
     ir_length = block.shape[0]

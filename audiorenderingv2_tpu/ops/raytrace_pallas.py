@@ -722,7 +722,8 @@ def trace_events_pallas(
     static_argnames=("params", "n_total_rays_per_pose", "interpret",
                      "compact", "round_budgets", "unroll", "partition_mode",
                      "layout", "tri_block", "schedule_mode", "key_layout",
-                     "cell_bits", "dir_split", "sort_mode", "sched_unroll"))
+                     "cell_bits", "dir_split", "sort_mode", "sched_unroll",
+                     "precision"))
 def trace_events_pose_batch(
     sc,
     directions: jax.Array,
@@ -744,6 +745,7 @@ def trace_events_pose_batch(
     dir_split: bool = False,
     sort_mode: str = "gather",
     sched_unroll: int = 1,
+    precision: str = "highest",
 ):
     """Trace P poses in ONE fused kernel launch (v2).
 
@@ -850,7 +852,8 @@ def trace_events_pose_batch(
     if len(budgets) == 1:
         sched1 = v2.tile_schedule(tiles, boxes) if schedule_mode else None
         tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal, params,
-                                  budgets[0], interpret, unroll=unroll,
+                                  budgets[0], interpret, precision,
+                                  unroll=unroll,
                                   tri_block=tri_block, sched=sched1,
                                   sched_unroll=sched_unroll,
                                   tiles_per_pose=tiles_per_pose)
@@ -862,7 +865,8 @@ def trace_events_pose_batch(
             i, b = xb
             sched = v2.tile_schedule(tiles, boxes) if schedule_mode else None
             tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
-                                      params, b, interpret, unroll=unroll,
+                                      params, b, interpret, precision,
+                                      unroll=unroll,
                                       tri_block=tri_block, sched=sched,
                                       sched_unroll=sched_unroll,
                                       tiles_per_pose=tiles_per_pose)

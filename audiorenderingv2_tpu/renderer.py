@@ -80,18 +80,29 @@ class AudioRenderer:
         band_edges: tuple = (250.0, 1000.0, 4000.0),
     ):
         self.n_rays = int(n_rays)
+        self._auto_opts = opts is None
+        cluster_size = None
         if opts is None:
-            # The fused Pallas kernel is the fast path on TPU; the XLA path
-            # runs everywhere and is differentiable.
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-            opts = TracerOptions(backend=backend)
+            # Resolve the measured-fastest config for this scene size (the
+            # same programs bench.py times): small scenes get the flat
+            # rows-layout kernel, larger ones Morton clusters + schedule
+            # mode (tuned.py; docs/ROUND4.md §1-2). Explicit ``opts`` keep
+            # full manual control.
+            from . import tuned
+
+            opts, cluster_size = tuned.auto_options(
+                scene.n_triangles, int(max_bounces))
+        elif opts.backend == "pallas" and opts.pallas_version == 2:
+            # Manual pallas-v2 opts keep the pre-r5 behavior: Morton
+            # clusters at the default cluster size.
+            cluster_size = 128
         self.opts = opts
         clusters = None
-        if self.opts.backend == "pallas" and self.opts.pallas_version == 2:
-            # Larger scenes get Morton-sorted clusters for chunk culling.
+        if cluster_size is not None:
             from . import accel
 
-            scene, clusters = accel.prepare_scene(scene)
+            scene, clusters = accel.prepare_scene(scene,
+                                                  cluster_size=cluster_size)
         self.scene = scene
         self.sc = scene_to_arrays(scene, self.opts.tri_chunk,
                                   clusters=clusters)
@@ -142,6 +153,15 @@ class AudioRenderer:
         self.params = dataclasses.replace(
             self.params, energy_threshold=float(energy_threshold),
             max_bounces=int(max_bounces))
+        if self._auto_opts and self.opts.pallas_round_budgets is not None:
+            # Auto-resolved opts carry bounce-round budgets scaled to
+            # max_bounces; rescale them so a deeper limit never trips the
+            # budgets-sum guard in trace_events.
+            from . import tuned
+
+            self.opts = dataclasses.replace(
+                self.opts,
+                pallas_round_budgets=tuned.round_budgets_for(max_bounces))
 
     def set_base_power(self, base_power: float) -> None:
         self.params = dataclasses.replace(self.params, base_power=float(base_power))

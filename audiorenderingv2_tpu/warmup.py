@@ -71,11 +71,12 @@ def shipped_configs():
     params = ar.TraceParams(sample_rate=16000, ir_length=32000,
                             base_power=3.62, max_bounces=100,
                             energy_threshold=0.0, hrtf_absorption_rate=0.9)
-    small_opts = ar.TracerOptions(
-        backend="pallas", tri_chunk=1024, rng_impl="rbg",
-        pallas_unroll=int(os.environ.get("AR2_BENCH_UNROLL", 8)),
-        pallas_round_budgets=(8, 24, 68),
-        pallas_layout=os.environ.get("AR2_BENCH_LAYOUT", "rows"))
+    # The shared config builder bench.py uses — ALL AR2_BENCH_* overrides
+    # (not just UNROLL/LAYOUT) produce the same HLO cache key here as in a
+    # bench run with the same env.
+    from audiorenderingv2_tpu import tuned
+
+    small_opts = tuned.bench_small_options()
 
     def small():
         import jax
@@ -111,19 +112,18 @@ def shipped_configs():
             os.path.abspath(__file__))))
         from benchmarks.large_scene import office_scene
 
-        lscene = office_scene(20000)
-        sorted_scene, clusters = accel.prepare_scene(lscene, cluster_size=32)
+        from audiorenderingv2_tpu import tuned
+
+        lscene = office_scene(int(os.environ.get("AR2_BENCH_LARGE_TRIS",
+                                                 20000)))
+        sorted_scene, clusters = accel.prepare_scene(
+            lscene, cluster_size=tuned.bench_large_cluster_size())
         lsc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
         lparams = ar.TraceParams(sample_rate=16000, ir_length=32000,
                                  base_power=3.62, max_bounces=32,
                                  energy_threshold=0.0,
                                  hrtf_absorption_rate=0.9)
-        lopts = ar.TracerOptions(backend="pallas", pallas_version=2,
-                                 pallas_schedule=True,
-                                 pallas_key_layout="dir72",
-                                 pallas_cell_bits=5,
-                                 pallas_tri_block=32,
-                                 pallas_sched_unroll=6)
+        lopts = tuned.bench_large_options()
         # Named `render_large` to match bench.py's jit (cache-key naming,
         # see the small() comment).
         @jax.jit
@@ -153,7 +153,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "benchmarks", "results", "warmup_r4.json"))
+        "benchmarks", "results", "warmup_r5.json"))
     ap.add_argument("--configs", default="small_bench,large_bench,"
                     "renderer_default",
                     help="comma-separated subset to warm")

@@ -72,37 +72,19 @@ def main():
     params = ar.TraceParams(sample_rate=16000, ir_length=32000,
                             base_power=3.62, max_bounces=100,
                             energy_threshold=0.0, hrtf_absorption_rate=0.9)
-    backend = os.environ.get("AR2_BENCH_BACKEND", "pallas")
-    budgets_env = os.environ.get("AR2_BENCH_BUDGETS", "8,24,68")
-    # AR2_BENCH_BUDGETS= (empty) -> the library's default schedule.
-    budgets = (tuple(int(b.strip()) for b in budgets_env.split(","))
-               if budgets_env.strip() else None)
-    if budgets is not None and sum(budgets) < 100:
-        sys.exit(f"AR2_BENCH_BUDGETS={budgets_env!r} sums to {sum(budgets)} "
-                 f"< max_bounces=100; deep paths would be truncated. "
-                 f"Use budgets summing to >= 100 (e.g. 8,24,68).")
-    opts = ar.TracerOptions(block_size=int(os.environ.get("AR2_BENCH_BLOCK", 65536)),
-                            tri_chunk=1024,
-                            backend=backend,
-                            rays_per_tile=int(os.environ.get("AR2_BENCH_TILE", 256)),
-                            # r3 tuned-best (benchmarks/results/tune_r3b.log,
-                            # docs/ROUND3.md section 4c): rbg direction RNG,
-                            # 4 bounce bodies per all-dead exit check, and a
-                            # 3-round [8, 24, 68] bounce schedule.
-                            rng_impl=os.environ.get("AR2_BENCH_RNG", "rbg"),
-                            # r4 tuned-best (benchmarks/results/tune_r4.log):
-                            # rows layout (exact-f32 VPU tri blocks instead
-                            # of 6-pass MXU group dots) + unroll 8 ->
-                            # 79.5 ms / 1.26e7 rays/s on the v5e.
-                            pallas_layout=os.environ.get("AR2_BENCH_LAYOUT",
-                                                         "rows"),
-                            pallas_unroll=int(os.environ.get("AR2_BENCH_UNROLL", 8)),
-                            pallas_round_budgets=budgets,
-                            # native-RNG init measures the same speed but compiles
-                            # ~10x slower through the remote-compile tunnel;
-                            # keep the round-end bench snappy by default.
-                            pallas_native_rng=(backend == "pallas" and
-                                               os.environ.get("AR2_BENCH_NATIVE_RNG", "0") == "1"))
+    # Shared tuned-config builder (audiorenderingv2_tpu/tuned.py): the r3/r4
+    # measured-best small-scene program (rows layout, unroll 8, [8,24,68]
+    # budgets, rbg), with the full AR2_BENCH_* env-override set applied in
+    # one place so warmup.py warms byte-identical HLO.
+    from audiorenderingv2_tpu import tuned
+
+    opts = tuned.bench_small_options()
+    if (opts.pallas_round_budgets is not None
+            and sum(opts.pallas_round_budgets) < 100):
+        sys.exit(f"AR2_BENCH_BUDGETS={opts.pallas_round_budgets} sums to "
+                 f"{sum(opts.pallas_round_budgets)} < max_bounces=100; deep "
+                 f"paths would be truncated. Use budgets summing to >= 100 "
+                 f"(e.g. 8,24,68).")
     sc = ar.scene_to_arrays(scene, opts.tri_chunk)
 
     @jax.jit
@@ -184,7 +166,7 @@ def main():
 
             lscene = office_scene(int(os.environ.get("AR2_BENCH_LARGE_TRIS",
                                                      20000)))
-            lcs = int(os.environ.get("AR2_BENCH_CLUSTER_SIZE", 32))
+            lcs = tuned.bench_large_cluster_size()
             sorted_scene, clusters = accel.prepare_scene(lscene,
                                                          cluster_size=lcs)
             lsc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
@@ -192,26 +174,11 @@ def main():
                 sample_rate=16000, ir_length=32000, base_power=3.62,
                 max_bounces=32, energy_threshold=0.0,
                 hrtf_absorption_rate=0.9)
-            # r3 tuned-best clustered config: schedule-mode tracing
-            # (XLA-side per-round candidate lists), 32-triangle clusters,
-            # direction-major dir72 compaction keys (docs/ROUND3.md).
-            # Legacy traversal remains reachable via AR2_BENCH_SCHEDULE=0.
-            lopts = ar.TracerOptions(
-                backend="pallas", pallas_version=2,
-                pallas_schedule=os.environ.get("AR2_BENCH_SCHEDULE",
-                                               "1") == "1",
-                pallas_key_layout=os.environ.get("AR2_BENCH_KEYS", "dir72"),
-                pallas_cell_bits=int(os.environ.get("AR2_BENCH_CELL_BITS",
-                                                    5)),
-                # r4 tuned-best (tune_r4b/c logs): 32-row VPU intersection
-                # blocks + 6 candidate visits per fori iteration ->
-                # 3.79 s -> 2.91 s at 20k tris x 1M rays x 32 bounces.
-                pallas_tri_block=int(os.environ.get("AR2_BENCH_TRI_BLOCK",
-                                                    32)),
-                pallas_sched_unroll=int(os.environ.get(
-                    "AR2_BENCH_SCHED_UNROLL", 6)),
-                pallas_dir_split=os.environ.get("AR2_BENCH_DIR_SPLIT",
-                                                "0") == "1")
+            # r3/r4 tuned-best clustered config (tuned.bench_large_options:
+            # schedule-mode candidate lists, 32-tri clusters, dir72 keys,
+            # 32-row blocks, 6-visit unroll -> 2.91 s at 20k tris x 1M rays
+            # x 32 bounces). Legacy traversal: AR2_BENCH_SCHEDULE=0.
+            lopts = tuned.bench_large_options()
 
             @jax.jit
             def render_large(k):
@@ -269,7 +236,7 @@ def main():
     # after warmup. Fold the warmup record in when present.
     warm = {}
     wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "benchmarks", "results", "warmup_r4.json")
+                         "benchmarks", "results", "warmup_r5.json")
     if os.path.exists(wpath):
         try:
             with open(wpath) as f:

@@ -154,3 +154,37 @@ def test_mix_is_linear():
     padded_b = np.zeros_like(only_a)
     padded_b[..., : only_b.shape[-1]] = only_b
     np.testing.assert_allclose(mixed, only_a + padded_b, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_pose_batch_banded():
+    """Banded (frequency-dependent) IRs through the fused pose batch (r5:
+    the r4 gate forced banded matrices onto the ~5x-slower vmapped
+    fallback). Fused == per-pair banded renders with the same key stream."""
+    from audiorenderingv2_tpu import testing
+
+    v, t = testing.box_room((6.0, 4.0, 5.0))
+    absorb = np.tile(np.array([[0.1, 0.3, 0.5, 0.7]], np.float32),
+                     (t.shape[0], 1))
+    scene = testing.scene_from_arrays(v, t, absorb)
+    sc = ar.scene_to_arrays(scene, 128)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6, n_bands=4)
+    popts = ar.TracerOptions(backend="pallas", pallas_version=2,
+                             pallas_interpret=True,
+                             pallas_round_budgets=(2, 4))
+    key = jax.random.PRNGKey(7)
+    emitters = np.array([[0.5, 0.2, -0.3]], np.float32)
+    receivers = np.array([[1.5, 0.0, 1.0], [-1.0, -0.5, 0.8]], np.float32)
+    yaws = np.array([0.0, 30.0], np.float32)
+    fused = multi.render_ir_matrix(sc, key, emitters, receivers, yaws, 256,
+                                   params, popts, pair_batch=0)
+    assert fused.shape == (1, 2, 2, 4, SR)
+    assert fused.sum() > 0
+    for li in (0, 1):
+        k = jax.random.fold_in(key, li)
+        dirs = sampling.sample_directions(k, 256)
+        single = np.asarray(ar.trace_ir(
+            sc, dirs, jnp.asarray(emitters[0]), jnp.asarray(receivers[li]),
+            float(yaws[li]), params, popts))
+        np.testing.assert_allclose(fused[0, li], single, rtol=1e-4,
+                                   atol=1e-7)

@@ -219,3 +219,38 @@ def test_record_paths_pallas_clustered():
     # replay accumulates deposits in launch order, the tracer in compacted
     # order -> f32 summation differences only (statistical on chip)
     testing.assert_ir_close(ir_rep, ir_fwd, rtol=2e-4, atol=1e-7)
+
+
+def test_record_paths_pallas_clustered_schedule_mode():
+    """Schedule-mode recording (the production-scale clustered gradient
+    path, r5) produces the same topology as the XLA search and the legacy
+    in-kernel traversal."""
+    from audiorenderingv2_tpu import accel, testing as t_
+
+    v, t = t_.icosphere(radius=5.0, subdivisions=3)
+    scene = t_.scene_from_arrays(v, t, 0.25)
+    sorted_scene, clusters = accel.prepare_scene(scene, cluster_size=32)
+    assert clusters is not None
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    params = ar.TraceParams(sample_rate=8000, ir_length=8000,
+                            base_power=3.62, max_bounces=5)
+    opts = ar.TracerOptions(block_size=256, tri_chunk=128)
+    sopts = ar.TracerOptions(backend="pallas", pallas_version=2,
+                             pallas_interpret=True, pallas_schedule=True,
+                             pallas_key_layout="dir72", pallas_cell_bits=5,
+                             pallas_tri_block=32, pallas_sched_unroll=2)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(11), 256)
+    emitter = jnp.zeros(3)
+    rec = jnp.array([1.5, 0.5, -0.5])
+    ids_x, recv_x = replay.record_paths(sc, dirs, emitter, rec, 0.0,
+                                        params, opts)
+    ids_s, recv_s = replay.record_paths_pallas(sc, dirs, emitter, rec, 0.0,
+                                               params, sopts)
+    _assert_topology_equal(ids_s, ids_x, recv_s, recv_x)
+    # replayed IR from schedule-recorded topology matches the forward trace
+    ir_fwd = np.asarray(ar.trace_ir(sc, dirs, emitter, rec, 0.0, params,
+                                    opts))
+    ir_rep = np.asarray(replay.render_ir_replay(
+        sc, ids_s, recv_s, dirs, emitter, rec, 0.0, params,
+        soft_binning=False))
+    testing.assert_ir_close(ir_rep, ir_fwd, rtol=2e-4, atol=1e-7)
