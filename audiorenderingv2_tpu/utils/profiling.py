@@ -29,6 +29,44 @@ def device_fence(out) -> float:
     return float(np.asarray(leaf).sum())
 
 
+def timed_median(fn, *args, n: int = 5, min_ms: float = 0.0):
+    """THE timing contract for every bench/tune harness on this backend.
+
+    Returns ``(median_ms, compile_first_s, checksum)``. Each timed call
+    ends with :func:`device_fence` (host materialization — never
+    ``block_until_ready``, which returned early twice through the axon
+    tunnel, docs/ROUND4.md 1b/5b) and the checksum is asserted finite and
+    positive, so a number can only be produced by a completed computation.
+    ``min_ms`` adds a physical-plausibility floor (raise if the median is
+    impossibly fast for the workload). Callers needing fresh inputs per
+    call pass a callable taking the iteration index as its only argument
+    and no ``args``.
+    """
+    import numpy as np
+
+    def call(i):
+        out = fn(i) if not args else fn(*args)
+        s = device_fence(out)
+        assert np.isfinite(s) and s > 0, f"bad checksum {s}"
+        return s
+
+    t0 = time.time()
+    checksum = call(0)
+    compile_first_s = time.time() - t0
+    ts = []
+    for i in range(1, n + 1):
+        t0 = time.time()
+        call(i)
+        ts.append(time.time() - t0)
+    median_ms = float(np.median(ts)) * 1000.0
+    if median_ms < min_ms:
+        raise RuntimeError(
+            f"median {median_ms:.3f} ms below the physical floor {min_ms} "
+            f"ms — the completion fence is being bypassed (see "
+            f"docs/ROUND4.md 1b)")
+    return median_ms, compile_first_s, checksum
+
+
 @dataclass
 class Timer:
     """Accumulating named wall-clock timer; call in a with-block."""

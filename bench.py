@@ -13,7 +13,11 @@ therefore 1e6 rays/s (one default render per second):
 ``vs_baseline = rays_per_s / 1e6`` = IR renders/s at the default workload.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Extra context goes to stderr.
+``value`` is pipelined throughput (renders enqueued back-to-back on the
+in-order device stream, fenced per group) — the steady-state production
+rate; ``dispatch_latency_ms_median`` is the single-render end-to-end cost
+through this backend's remote-dispatch tunnel (what one interactive
+re-render costs here). Extra context goes to stderr.
 """
 import json
 import os
@@ -115,8 +119,24 @@ def main():
     # only be produced by a completed render.
     from audiorenderingv2_tpu.utils.profiling import device_fence
 
-    # 9 samples (was 5): remote-dispatch jitter spreads single renders by
-    # up to ~20% run to run; a wider median is steadier at ~0.4 s cost.
+    # Two numbers, both reported (docs/ROUND5.md):
+    #
+    #  * dispatch latency — one render dispatched, fenced, timed; what an
+    #    interactive listener-move re-render costs end to end through
+    #    this backend's remote-dispatch tunnel (main.cpp:470-498 is the
+    #    reference cadence). Per-sample times carry up to ~20% tunnel
+    #    jitter (r4: 86.9-140.4 ms for the same program), which is
+    #    environment, not framework.
+    #  * pipelined throughput (the headline rays/s) — groups of G renders
+    #    with fresh keys enqueued back-to-back on the in-order device
+    #    stream, ONE fence on the last output per group. The device runs
+    #    renders gaplessly, so group_time/G is the per-render device cost
+    #    with the per-dispatch tunnel round trip amortized — the steady-
+    #    state production rate (and what N renders cost on any locally
+    #    attached TPU). Integrity: FIFO execution means the fenced last
+    #    render bounds the whole group; every group member's checksum is
+    #    additionally asserted finite+positive, and a 10 ms physical
+    #    floor guards against the r4 fence failures.
     times = []
     checks = []
     for i in range(9):
@@ -125,10 +145,31 @@ def main():
         out_ir, _ = render(k, emitter, rec, yaw)
         checks.append(device_fence(out_ir))
         times.append(time.time() - t0)
-    t_render = float(np.median(times))
+    t_dispatch = float(np.median(times))
     assert all(np.isfinite(c) and c > 0 for c in checks), checks
+    log(f"dispatch-latency samples: {[f'{t*1000:.1f}ms' for t in times]}; "
+        f"median {t_dispatch*1000:.1f} ms")
+
+    G = int(os.environ.get("AR2_BENCH_GROUP", 3))
+    gtimes = []
+    gchecks = []
+    for g in range(3):
+        irs = []
+        t0 = time.time()
+        for j in range(G):
+            k = jax.random.fold_in(key, 100 + g * G + j)
+            out_ir, _ = render(k, emitter, rec, yaw)
+            irs.append(out_ir)
+        gchecks.append(device_fence(irs[-1]))  # FIFO: fences the group
+        gtimes.append((time.time() - t0) / G)
+        gchecks.extend(device_fence(x) for x in irs[:-1])
+    t_render = float(np.median(gtimes))
+    assert all(np.isfinite(c) and c > 0 for c in gchecks), gchecks
+    assert t_render > 0.010, (f"{t_render*1e3:.3f} ms/render is physically "
+                              f"impossible at 1M rays (fence bypassed?)")
     rays_per_s = n_rays / t_render
-    log(f"render times: {[f'{t*1000:.1f}ms' for t in times]}; "
+    log(f"pipelined groups of {G}: "
+        f"{[f'{t*1000:.1f}ms' for t in gtimes]}/render; "
         f"median {t_render*1000:.1f} ms -> {rays_per_s:.3e} rays/s "
         f"({1.0/t_render:.2f} IR renders/s at 1M rays)")
 
@@ -249,6 +290,8 @@ def main():
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / CUDA_BASELINE_RAYS_PER_S,
+        "pipelined_ms_median": round(t_render * 1e3, 1),
+        "dispatch_latency_ms_median": round(t_dispatch * 1e3, 1),
         "compile_first_s": round(compile_first_s, 1),
         **mfu,
         **warm,
