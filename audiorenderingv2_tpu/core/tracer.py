@@ -110,13 +110,15 @@ class TracerOptions:
                                  # budgets (overrides the schedule)
     pallas_dynamic_grid: bool = False  # size each round's kernel grid to
                                  # the live-ray prefix (skip all-done
-                                 # tiles). Off by default: with the
-                                 # reference's energy_threshold=0 rays
-                                 # only die by receiver hit or escape
-                                 # (93% alive at bounce 32 on the office
-                                 # bench), and the traced grid dimension
-                                 # measurably inflates Mosaic compile
-                                 # through the remote tunnel.
+                                 # tiles). Off by default: on the office
+                                 # bench 93% of rays are alive at bounce
+                                 # 32 (nothing to skip), and on the
+                                 # small bench — where 69% die by bounce
+                                 # 8 — it measured 83.8 vs 84.9 ms
+                                 # (tune_r5.log): the kernel's per-tile
+                                 # all-dead early exit already harvests
+                                 # ray death, so the dynamic grid only
+                                 # adds compile cost.
     pallas_layout: str = "auto"  # v2 triangle layout: "auto" == "rows"
                                  # (VPU tri blocks; exact f32, no MXU —
                                  # measured 82 vs 104 ms on the 1M-ray
@@ -135,6 +137,12 @@ class TracerOptions:
                                  # per block, so 32 halves it per triangle;
                                  # blocks past 32 grow the live register
                                  # set toward spills
+    pallas_sched_prefilter: str = "exact"  # schedule mode candidate
+                                 # lists: "exact" (per-ray slab tests,
+                                 # cost rays x clusters) | "interval"
+                                 # (per-tile interval hull, ~128x less
+                                 # schedule compute, conservative
+                                 # superset candidates — r5)
     pallas_sched_unroll: int = 1 # schedule mode: candidate cluster visits
                                  # per fori_loop iteration (amortizes the
                                  # per-visit scalar loop machinery; pad
@@ -621,6 +629,7 @@ def render_ir_pose_batch(
         dir_split=opts.pallas_dir_split,
         sort_mode=opts.pallas_sort_mode,
         sched_unroll=opts.pallas_sched_unroll,
+        sched_prefilter=opts.pallas_sched_prefilter,
         precision=opts.pallas_precision)
     return _histogram_from_events_posed(
         ev_bin_f, ev_w, ev_ear, params,
@@ -698,6 +707,7 @@ def trace_ir(
             partition_mode=opts.pallas_partition_mode,
             tri_block=opts.pallas_tri_block,
             sched_unroll=opts.pallas_sched_unroll,
+        sched_prefilter=opts.pallas_sched_prefilter,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear, params,
                                     opts.soft_binning,
@@ -791,6 +801,7 @@ def render_ir(
             partition_mode=opts.pallas_partition_mode,
             tri_block=opts.pallas_tri_block,
             sched_unroll=opts.pallas_sched_unroll,
+        sched_prefilter=opts.pallas_sched_prefilter,
             return_depth=with_stats)
         ir = _histogram_from_events(ev_bin_f, ev_w, ev_ear,
                                     params, opts.soft_binning,

@@ -176,7 +176,9 @@ def record_paths_pallas(sc: SceneArrays, dirs: jax.Array, emitter: jax.Array,
     schedule_mode = coherent and opts.pallas_schedule
 
     def round_step(tiles, _):
-        sched = rp2.tile_schedule(tiles, boxes) if schedule_mode else None
+        sched = (rp2.tile_schedule(tiles, boxes,
+                                   mode=opts.pallas_sched_prefilter)
+                 if schedule_mode else None)
         tiles = rp2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
                                    params, 1, interpret,
                                    opts.pallas_precision, sched=sched,

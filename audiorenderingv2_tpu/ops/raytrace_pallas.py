@@ -482,7 +482,8 @@ def trace_round(state, tris_packed, scal, params: TraceParams,
                      "cell_bits", "dir_split", "return_depth", "sort_mode",
                      "sort_interval", "round_budgets", "dynamic_grid",
                      "schedule_mode", "key_layout", "unroll",
-                     "partition_mode", "tri_block", "sched_unroll"))
+                     "partition_mode", "tri_block", "sched_unroll",
+                     "sched_prefilter"))
 def trace_events_pallas(
     tris_packed,
     directions: jax.Array | None,
@@ -511,6 +512,7 @@ def trace_events_pallas(
     partition_mode: str = "scatter",
     tri_block: int = 16,
     sched_unroll: int = 1,
+    sched_prefilter: str = "exact",
 ):
     """Trace rays with the fused kernel in compacting rounds.
 
@@ -642,8 +644,9 @@ def trace_events_pallas(
                     f"the schedule")
 
         if len(budgets) == 1:
-            sched1 = (v2.tile_schedule(tiles, boxes) if schedule_mode
-                      else None)
+            sched1 = (v2.tile_schedule(tiles, boxes,
+                                       mode=sched_prefilter)
+                      if schedule_mode else None)
             tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
                                       params, budgets[0], interpret,
                                       precision, sched=sched1,
@@ -662,8 +665,9 @@ def trace_events_pallas(
             def body(carry, xb):
                 tiles, n_act = carry
                 i, b = xb
-                sched = (v2.tile_schedule(tiles, boxes) if schedule_mode
-                         else None)
+                sched = (v2.tile_schedule(tiles, boxes,
+                                          mode=sched_prefilter)
+                         if schedule_mode else None)
                 tiles = v2.trace_round_v2(
                     tiles, coeffs, attrs, boxes, scal, params, b, interpret,
                     precision,
@@ -723,7 +727,7 @@ def trace_events_pallas(
                      "compact", "round_budgets", "unroll", "partition_mode",
                      "layout", "tri_block", "schedule_mode", "key_layout",
                      "cell_bits", "dir_split", "sort_mode", "sched_unroll",
-                     "precision"))
+                     "precision", "sched_prefilter"))
 def trace_events_pose_batch(
     sc,
     directions: jax.Array,
@@ -746,6 +750,7 @@ def trace_events_pose_batch(
     sort_mode: str = "gather",
     sched_unroll: int = 1,
     precision: str = "highest",
+    sched_prefilter: str = "exact",
 ):
     """Trace P poses in ONE fused kernel launch (v2).
 
@@ -850,7 +855,8 @@ def trace_events_pose_batch(
         return v2.to_tiles(st.reshape(p * n_pad, ncols))
 
     if len(budgets) == 1:
-        sched1 = v2.tile_schedule(tiles, boxes) if schedule_mode else None
+        sched1 = (v2.tile_schedule(tiles, boxes, mode=sched_prefilter)
+                  if schedule_mode else None)
         tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal, params,
                                   budgets[0], interpret, precision,
                                   unroll=unroll,
@@ -863,7 +869,8 @@ def trace_events_pose_batch(
         def body(carry, xb):
             tiles = carry
             i, b = xb
-            sched = v2.tile_schedule(tiles, boxes) if schedule_mode else None
+            sched = (v2.tile_schedule(tiles, boxes, mode=sched_prefilter)
+                     if schedule_mode else None)
             tiles = v2.trace_round_v2(tiles, coeffs, attrs, boxes, scal,
                                       params, b, interpret, precision,
                                       unroll=unroll,

@@ -920,8 +920,97 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     )(*operands)
 
 
+def tile_schedule_interval(tiles: jax.Array, boxes: jax.Array,
+                           chunk: int = 512) -> jax.Array:
+    """:func:`tile_schedule` via per-TILE interval arithmetic — ~128x less
+    schedule-stage compute, conservatively superset candidates.
+
+    Instead of exact slab tests for every (ray, cluster) pair reduced over
+    the tile (cost n_rays x C), each tile is summarized by the interval
+    hull of its alive rays' positions and direction components, and ONE
+    interval slab test per (tile, cluster) bounds every ray's entry/exit
+    (cost n_tiles x C). Interval arithmetic guarantees the reachable set
+    is a SUPERSET of the exact tile union (tests pin this property), so
+    the kernel's running min still sees every true candidate — extra
+    candidates only cost visit time. After the dir72 coherent sort, tiles
+    are position- and direction-coherent, so the hull is tight and the
+    measured inflation is small on early rounds (it decays as compaction
+    coherence does). Direction axes whose interval spans zero fall back to
+    "unconstrained" (near 0, far inf) — rare inside one dir72 bin.
+
+    Returns the same int32 [n_tiles, S] rows as :func:`tile_schedule`.
+    """
+    n_tiles = tiles.shape[0]
+    C = boxes.shape[0]
+    S = -(-(C + 1) // 8) * 8
+    blo = boxes[:, 0:3]                                   # [C, 3]
+    bhi = boxes[:, 3:6]
+    bval = boxes[:, 6] > 0.0
+    eps = jnp.float32(1e-20)
+    big = jnp.float32(3e38)
+
+    def chunk_rows(tc):
+        k = tc.shape[0]
+        p = tc[:, v1._C_PX:v1._C_PZ + 1, 0, :]            # [k, 3, 128]
+        v = tc[:, v1._C_VX:v1._C_VZ + 1, 0, :]
+        alive = (tc[:, v1._C_DONE, 0, :] == 0.0)[:, None, :]
+        any_alive = jnp.any(alive[:, 0, :], axis=1)       # [k]
+        pmin = jnp.min(jnp.where(alive, p, big), axis=2)  # [k, 3]
+        pmax = jnp.max(jnp.where(alive, p, -big), axis=2)
+        vmin = jnp.min(jnp.where(alive, v, big), axis=2)
+        vmax = jnp.max(jnp.where(alive, v, -big), axis=2)
+        # Reciprocal interval is only sign-stable when the direction
+        # interval avoids 0; other axes are unconstrained below.
+        ok_axis = (vmin > eps) | (vmax < -eps)            # [k, 3]
+        imin = 1.0 / jnp.where(ok_axis, vmax, 1.0)
+        imax = 1.0 / jnp.where(ok_axis, vmin, 1.0)
+        # Slab offsets: d1 = lo - p in [lo - pmax, lo - pmin]; d2 likewise.
+        d1min = blo.T[None] - pmax[:, :, None]            # [k, 3, C]
+        d1max = blo.T[None] - pmin[:, :, None]
+        d2min = bhi.T[None] - pmax[:, :, None]
+        d2max = bhi.T[None] - pmin[:, :, None]
+        ilo = imin[:, :, None]
+        ihi = imax[:, :, None]
+
+        def imul_bounds(amin, amax):
+            ps = (amin * ilo, amin * ihi, amax * ilo, amax * ihi)
+            lo = jnp.minimum(jnp.minimum(ps[0], ps[1]),
+                             jnp.minimum(ps[2], ps[3]))
+            hi = jnp.maximum(jnp.maximum(ps[0], ps[1]),
+                             jnp.maximum(ps[2], ps[3]))
+            return lo, hi
+
+        t1lo, t1hi = imul_bounds(d1min, d1max)
+        t2lo, t2hi = imul_bounds(d2min, d2max)
+        near_lo = jnp.minimum(t1lo, t2lo)                 # [k, 3, C]
+        far_hi = jnp.maximum(t1hi, t2hi)
+        okx = ok_axis[:, :, None]
+        near_lo = jnp.where(okx, near_lo, -big)
+        far_hi = jnp.where(okx, far_hi, big)
+        tn_lo = jnp.max(near_lo, axis=1)                  # [k, C]
+        tf_hi = jnp.min(far_hi, axis=1)
+        entry_lo = jnp.maximum(tn_lo, 0.0)
+        reach = ((tf_hi >= entry_lo) & bval[None, :]
+                 & any_alive[:, None])
+        count = jnp.sum(reach, axis=1, dtype=jnp.int32)
+        order = jnp.argsort(jnp.where(reach, 0, 1), axis=1,
+                            stable=True).astype(jnp.int32)
+        pad = jnp.zeros((k, S - C - 1), jnp.int32)
+        return jnp.concatenate([count[:, None], order, pad], axis=1)
+
+    n_pad_tiles = -(-n_tiles // chunk) * chunk
+    if n_pad_tiles != n_tiles:
+        filler = jnp.ones((n_pad_tiles - n_tiles,) + tiles.shape[1:],
+                          tiles.dtype)  # done=1 everywhere -> count 0
+        tiles = jnp.concatenate([tiles, filler], axis=0)
+    rows = jax.lax.map(chunk_rows,
+                       tiles.reshape(n_pad_tiles // chunk, chunk,
+                                     *tiles.shape[1:]))
+    return rows.reshape(n_pad_tiles, S)[:n_tiles]
+
+
 def tile_schedule(tiles: jax.Array, boxes: jax.Array,
-                  chunk: int = 64) -> jax.Array:
+                  chunk: int = 64, mode: str = "exact") -> jax.Array:
     """Per-round, per-tile candidate cluster lists, computed in plain XLA.
 
     For every 128-ray tile: exact per-ray slab tests against every cluster
@@ -942,7 +1031,11 @@ def tile_schedule(tiles: jax.Array, boxes: jax.Array,
     data-dependent control flow (~12.5 Gflop at 1M rays x 624 clusters),
     fused by XLA inside a lax.map over ``chunk``-tile blocks so the
     [tiles, C, 128] intermediates never hit HBM at full size.
+    ``mode="interval"`` dispatches to :func:`tile_schedule_interval` (the
+    r5 per-tile prefilter — ~128x cheaper, conservative superset).
     """
+    if mode == "interval":
+        return tile_schedule_interval(tiles, boxes)
     n_tiles = tiles.shape[0]
     C = boxes.shape[0]
     S = -(-(C + 1) // 8) * 8

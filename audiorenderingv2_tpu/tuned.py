@@ -29,12 +29,13 @@ from .core.tracer import TracerOptions
 
 # Scenes at or above this many triangles trace through Morton clusters +
 # schedule mode; below it, the flat rows-layout kernel wins (the schedule's
-# per-round XLA stages cost more than brute-force intersection on small
-# kernels). r4 data points: rows is the best known config at 10/320/1280
-# tris (layout_midsize_r4.log); schedule-mode clusters win at 20k
-# (tune_r4b/c). The threshold sits between those measured points; see
-# benchmarks/results/crossover_r5.log for the r5 bracketing measurements.
-CLUSTER_THRESHOLD = 2048
+# per-round XLA stages cost more than brute-force intersection on tiny
+# kernels). r5 on-chip bracketing (benchmarks/results/tune_r5.log /
+# tune_r5b.log, 1M rays x 32 bounces, office-style scenes): schedule beats
+# rows 1.8x at ~970 tris, 4.7x at 1280, 8.6x at 2560, 13.7x at 5120.
+# 512 is accel.prepare_scene's clustering floor — every scene that CAN
+# cluster measured faster clustered.
+CLUSTER_THRESHOLD = 512
 
 # Tuned clustered-scene settings (docs/ROUND4.md §2b).
 CLUSTER_SIZE = 32

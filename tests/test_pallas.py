@@ -353,3 +353,54 @@ def test_partition_modes_agree(mode):
     alive = ref[:, rp._C_DONE] == 0.0
     n_alive = int(alive.sum())
     assert alive[:n_alive].all() and not alive[n_alive:].any()
+
+
+def test_interval_prefilter_superset_and_parity():
+    """The r5 interval-hull schedule (tile_schedule_interval) must (a)
+    produce a SUPERSET of the exact per-ray candidate sets — the kernel's
+    running min then sees every true candidate — and (b) leave the
+    rendered IR equal to the XLA tracer's."""
+    from audiorenderingv2_tpu import accel
+    from audiorenderingv2_tpu.ops import raytrace_pallas as rp
+    from audiorenderingv2_tpu.ops import raytrace_pallas_v2 as rp2
+
+    v, t = testing.icosphere(radius=6.0, subdivisions=3)  # 1280 tris
+    scene = testing.scene_from_arrays(v, t, 0.2)
+    sorted_scene, clusters = accel.prepare_scene(scene, cluster_size=32)
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(5), 512)
+    rec = jnp.array([1.5, 0.5, -1.0], jnp.float32)
+
+    # (a) superset on a mid-trace state (advance 2 bounces first)
+    _, _, boxes = rp2.pack_tris_v2(sc, 1)
+    e0 = params.base_power / (512 * 4.18879)
+    state = rp.init_state(jnp.asarray(dirs), jnp.zeros(3, jnp.float32),
+                          e0, 512)
+    tiles = rp2.to_tiles(state)
+    scal = rp._scalars(jnp.zeros(3, jnp.float32), rec, jnp.float32(0.2),
+                       e0, params)
+    coeffs, attrs, boxes2 = rp2.pack_tris_v2(sc, 1, tri_block=32)
+    sched0 = rp2.tile_schedule(tiles, boxes2)
+    tiles2 = rp2.trace_round_v2(tiles, coeffs, attrs, boxes2, scal, params,
+                                2, True, sched=sched0, tri_block=32)
+    for tl in (tiles, tiles2):
+        ex = np.asarray(rp2.tile_schedule(tl, boxes2))
+        iv = np.asarray(rp2.tile_schedule_interval(tl, boxes2))
+        for row_e, row_i in zip(ex, iv):
+            se = set(row_e[1:1 + row_e[0]].tolist())
+            si = set(row_i[1:1 + row_i[0]].tolist())
+            assert se <= si, (sorted(se - si), len(se), len(si))
+
+    # (b) end-to-end parity vs the XLA tracer
+    opts = pallas_opts(2, pallas_schedule=True, pallas_key_layout="dir72",
+                       pallas_sched_prefilter="interval",
+                       pallas_tri_block=32)
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 10.0, params,
+                               opts))
+    sc_plain = ar.scene_to_arrays(scene, 128)
+    b = np.asarray(ar.trace_ir(sc_plain, dirs, jnp.zeros(3), rec, 10.0,
+                               params, xla_opts()))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
