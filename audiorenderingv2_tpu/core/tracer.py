@@ -142,7 +142,10 @@ class TracerOptions:
                                  # cost rays x clusters) | "interval"
                                  # (per-tile interval hull, ~128x less
                                  # schedule compute, conservative
-                                 # superset candidates — r5)
+                                 # superset candidates) | "twostage"
+                                 # (interval prefilter + exact tests
+                                 # over the subset; superset fallback
+                                 # on overflow tiles — r5)
     pallas_sched_unroll: int = 1 # schedule mode: candidate cluster visits
                                  # per fori_loop iteration (amortizes the
                                  # per-visit scalar loop machinery; pad

@@ -404,3 +404,53 @@ def test_interval_prefilter_superset_and_parity():
                                params, xla_opts()))
     assert a.sum() > 0
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+
+
+def test_twostage_schedule_superset_and_parity():
+    """Two-stage schedule (interval prefilter -> exact subset tests):
+    candidate sets are a superset of the exact schedule's (equal on
+    non-overflow tiles), and the rendered IR matches the XLA tracer."""
+    from audiorenderingv2_tpu import accel
+    from audiorenderingv2_tpu.ops import raytrace_pallas as rp
+    from audiorenderingv2_tpu.ops import raytrace_pallas_v2 as rp2
+
+    v, t = testing.icosphere(radius=6.0, subdivisions=3)
+    scene = testing.scene_from_arrays(v, t, 0.2)
+    sorted_scene, clusters = accel.prepare_scene(scene, cluster_size=32)
+    sc = ar.scene_to_arrays(sorted_scene, 128, clusters=clusters)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(6), 512)
+    rec = jnp.array([1.5, 0.5, -1.0], jnp.float32)
+
+    _, _, _ = rp2.pack_tris_v2(sc, 1)
+    e0 = params.base_power / (512 * 4.18879)
+    state = rp.init_state(jnp.asarray(dirs), jnp.zeros(3, jnp.float32),
+                          e0, 512)
+    tiles = rp2.to_tiles(state)
+    scal = rp._scalars(jnp.zeros(3, jnp.float32), rec, jnp.float32(0.2),
+                       e0, params)
+    coeffs, attrs, boxes2 = rp2.pack_tris_v2(sc, 1, tri_block=32)
+    sched0 = rp2.tile_schedule(tiles, boxes2)
+    tiles2 = rp2.trace_round_v2(tiles, coeffs, attrs, boxes2, scal, params,
+                                2, True, sched=sched0, tri_block=32)
+    for cap in (8, 40):  # small caps force the overflow fallback too
+        for tl in (tiles, tiles2):
+            ex = np.asarray(rp2.tile_schedule(tl, boxes2))
+            ts = np.asarray(rp2.tile_schedule_twostage(tl, boxes2,
+                                                       cap=cap))
+            for row_e, row_t in zip(ex, ts):
+                se = set(row_e[1:1 + row_e[0]].tolist())
+                st = set(row_t[1:1 + row_t[0]].tolist())
+                assert se <= st, (sorted(se - st), len(se), len(st))
+
+    opts = pallas_opts(2, pallas_schedule=True, pallas_key_layout="dir72",
+                       pallas_sched_prefilter="twostage",
+                       pallas_tri_block=32)
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 10.0, params,
+                               opts))
+    sc_plain = ar.scene_to_arrays(scene, 128)
+    b = np.asarray(ar.trace_ir(sc_plain, dirs, jnp.zeros(3), rec, 10.0,
+                               params, xla_opts()))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
