@@ -451,7 +451,16 @@ def _events_to_flat_bins(ev_bin_f, ev_w, ev_ear, params: TraceParams,
         cross_w = ev_w * (1.0 - params.hrtf_absorption_rate)
         other = 1 - ev_ear
         if soft:
-            cross_bins, cross_fracs = _slot_bins(ev_bin_f + delay, active, nb,
+            # The reference's overflow fallback (devicePrograms.cu:136-167,
+            # mirrored by the hard path below): a cross deposit whose
+            # delayed bin lands past the IR end goes to the BASE bin
+            # instead of being dropped. Applied softly at the hard-mode
+            # predicate (round(base)+delay >= nb), so the last `delay`
+            # samples match hard-mode energy placement instead of
+            # clamping (the r4 parity delta, docs/PARITY.md).
+            over = jnp.round(ev_bin_f) + delay >= nb
+            cross_src = jnp.where(over, ev_bin_f, ev_bin_f + delay)
+            cross_bins, cross_fracs = _slot_bins(cross_src, active, nb,
                                                  soft)
             slots.append(flatten(cross_bins, cross_fracs, cross_w, other))
         else:

@@ -108,3 +108,33 @@ def test_pallas_histogram_weight_gradient():
         probe * binning.histogram_sum_banded(flat, x, n_bins)))(w)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_sort),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_soft_cross_ear_overflow_fallback():
+    """A cross-ear deposit whose delayed bin would overflow the IR end
+    falls back to the base bin in SOFT mode too (r5 fix of the r4 parity
+    delta) — matching hard mode's energy placement in the last `delay`
+    samples instead of dropping it."""
+    import audiorenderingv2_tpu as ar
+    from audiorenderingv2_tpu.core.tracer import _histogram_from_events
+
+    params = ar.TraceParams(sample_rate=16000, ir_length=100,
+                            base_power=1.0, max_bounces=4,
+                            hrtf_absorption_rate=0.25)
+    delay = params.cross_ear_delay
+    assert delay > 0
+    # one event per region: mid-IR (normal cross), tail (overflow)
+    ev_bin = jnp.array([50.0, 97.0], jnp.float32)
+    ev_w = jnp.array([[1.0], [1.0]], jnp.float32)
+    ev_ear = jnp.array([0, 0], jnp.int32)
+    hard = np.asarray(_histogram_from_events(ev_bin, ev_w, ev_ear, params,
+                                             soft=False))
+    soft = np.asarray(_histogram_from_events(ev_bin, ev_w, ev_ear, params,
+                                             soft=True))
+    # integer-bin events -> soft interp is degenerate; must match hard
+    np.testing.assert_allclose(soft, hard, rtol=1e-6, atol=1e-7)
+    # and the overflow cross deposit really landed at the base bin
+    np.testing.assert_allclose(hard[1, 97], 0.75, rtol=1e-6)
+    np.testing.assert_allclose(soft[1, 97], 0.75, rtol=1e-6)
+    # energy conservation: nothing dropped in either mode
+    np.testing.assert_allclose(soft.sum(), hard.sum(), rtol=1e-6)
