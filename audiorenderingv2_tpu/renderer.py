@@ -124,6 +124,7 @@ class AudioRenderer:
         self.emitter_pos = np.zeros(3, np.float32)
         self.receiver_pos = np.zeros(3, np.float32)
         self.receiver_yaw_deg = 0.0
+        self._pose_dev = None  # staged device pose (see _pose_args)
         self._key = jax.random.PRNGKey(seed)
         self._draws = 0
         self._ir: np.ndarray | None = None
@@ -142,12 +143,14 @@ class AudioRenderer:
         """Reference setEmitterPosInOptix (AudioRenderer.cpp:752-756) — here
         just a parameter store; no accel rebuild exists to trigger."""
         self.emitter_pos = np.asarray(pos, np.float32)
+        self._pose_dev = None
 
     def set_receiver(self, pos, yaw_deg: float) -> None:
         """Reference placeReceiver + setSphereCenterInOptix
         (OptixModel.cpp:153-157, AudioRenderer.cpp:758-762)."""
         self.receiver_pos = np.asarray(pos, np.float32)
         self.receiver_yaw_deg = float(yaw_deg)
+        self._pose_dev = None
 
     def set_thresholds(self, energy_threshold: float, max_bounces: int) -> None:
         self.params = dataclasses.replace(
@@ -173,15 +176,23 @@ class AudioRenderer:
         self.params = dataclasses.replace(self.params, is_mono=bool(is_mono))
 
     # ------------------------------------------------------------- render
-    def _render_fn(self):
-        """Jit-compiled trace for the current static params/opts."""
-        cache_key = (self.params, self.opts, self.n_rays)
+    def _render_fn(self, fold_inside: bool):
+        """Jit-compiled trace for the current static params/opts.
+
+        ``fold_inside=True`` is the product path: the per-draw
+        ``fold_in(base_key, draws)`` runs INSIDE the compiled program, so
+        one render is ONE dispatch (an eager fold_in costs a separate
+        remote round trip through dispatch-tunnel backends — measured
+        ~40 ms of the r4 facade's 134-vs-94 ms gap vs the bench program).
+        ``False`` keeps the explicit-key signature for callers that
+        supply their own key (its stream is pinned by tests).
+        """
+        cache_key = (self.params, self.opts, self.n_rays, fold_inside)
         fn = self._fns.get(cache_key)
         if fn is None:
             params, opts, n_rays = self.params, self.opts, self.n_rays
 
-            @jax.jit
-            def fn(sc, key, emitter, rec_pos, yaw_deg):
+            def body(sc, key, emitter, rec_pos, yaw_deg):
                 ir = render_ir(sc, key, n_rays, emitter, rec_pos, yaw_deg,
                                params, opts)
                 if params.is_mono:
@@ -189,18 +200,37 @@ class AudioRenderer:
                     ir = jnp.broadcast_to(jnp.sum(ir, axis=0, keepdims=True), ir.shape)
                 return ir
 
+            if fold_inside:
+                @jax.jit
+                def fn(sc, base_key, draws, emitter, rec_pos, yaw_deg):
+                    return body(sc, jax.random.fold_in(base_key, draws),
+                                emitter, rec_pos, yaw_deg)
+            else:
+                fn = jax.jit(body)
             self._fns[cache_key] = fn
         return fn
+
+    def _pose_args(self):
+        """Device-resident (emitter, receiver, yaw) — re-staged only when a
+        setter moved them, not on every render (three small host->device
+        transfers per call are pure tunnel round trips)."""
+        if self._pose_dev is None:
+            self._pose_dev = (jnp.asarray(self.emitter_pos),
+                              jnp.asarray(self.receiver_pos),
+                              jnp.float32(self.receiver_yaw_deg))
+        return self._pose_dev
 
     def render(self, key: jax.Array | None = None) -> np.ndarray:
         """Trace a fresh IR; returns float32 [2, ir_length] (left, right)."""
         if key is None:
-            key = jax.random.fold_in(self._key, self._draws)
+            # Same stream as fold_in(self._key, draws) eagerly — the fold
+            # just runs inside the compiled program (one dispatch total).
+            ir = self._render_fn(True)(
+                self.sc, self._key, np.uint32(self._draws),
+                *self._pose_args())
             self._draws += 1
-        ir = self._render_fn()(
-            self.sc, key, jnp.asarray(self.emitter_pos),
-            jnp.asarray(self.receiver_pos),
-            jnp.float32(self.receiver_yaw_deg))
+        else:
+            ir = self._render_fn(False)(self.sc, key, *self._pose_args())
         self._ir = np.asarray(ir)
         if self.write_ir_to_file_flag:
             self.dump_ir()
