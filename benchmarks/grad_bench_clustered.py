@@ -127,7 +127,8 @@ def main():
     d_small = sampling.sample_directions(jax.random.PRNGKey(1), n_small)
     # Direct autodiff through the full nearest-hit search at 20k tris is
     # activation-memory-bound: small blocks + remat keep it inside HBM.
-    xopts = ar.TracerOptions(block_size=2048, tri_chunk=1024,
+    # tri_chunk must divide sc's padded triangle count (packed at 128).
+    xopts = ar.TracerOptions(block_size=2048, tri_chunk=128,
                              early_exit=False, remat=True)
     ids_s, recv_s = jax.jit(lambda d: replay.record_paths_pallas(
         sc, d, emitter, rec, 0.0, p_small, popts))(d_small)

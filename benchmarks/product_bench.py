@@ -45,10 +45,11 @@ report = {}
 
 
 def bench_opts():
-    return ar.TracerOptions(backend="pallas", tri_chunk=1024,
-                            rng_impl="rbg", pallas_layout="rows",
-                            pallas_unroll=8,
-                            pallas_round_budgets=(8, 24, 68))
+    # The shared tuned-config builder (r5): keeps this harness on the
+    # exact program bench.py/warmup.py compile.
+    from audiorenderingv2_tpu import tuned
+
+    return tuned.bench_small_options()
 
 
 def make_renderer(n_rays=N_RAYS):
