@@ -191,8 +191,14 @@ class AudioRenderer:
         fn = self._fns.get(cache_key)
         if fn is None:
             params, opts, n_rays = self.params, self.opts, self.n_rays
+            # The scene is CLOSED OVER, not passed: jit bakes the arrays
+            # into the executable as constants — like bench.py's program —
+            # instead of shipping 9 argument buffers through the dispatch
+            # path on every render (the scene never changes for a
+            # renderer instance; a new scene means a new AudioRenderer).
+            sc = self.sc
 
-            def body(sc, key, emitter, rec_pos, yaw_deg):
+            def body(key, emitter, rec_pos, yaw_deg):
                 ir = render_ir(sc, key, n_rays, emitter, rec_pos, yaw_deg,
                                params, opts)
                 if params.is_mono:
@@ -202,8 +208,8 @@ class AudioRenderer:
 
             if fold_inside:
                 @jax.jit
-                def fn(sc, base_key, draws, emitter, rec_pos, yaw_deg):
-                    return body(sc, jax.random.fold_in(base_key, draws),
+                def fn(base_key, draws, emitter, rec_pos, yaw_deg):
+                    return body(jax.random.fold_in(base_key, draws),
                                 emitter, rec_pos, yaw_deg)
             else:
                 fn = jax.jit(body)
@@ -226,11 +232,10 @@ class AudioRenderer:
             # Same stream as fold_in(self._key, draws) eagerly — the fold
             # just runs inside the compiled program (one dispatch total).
             ir = self._render_fn(True)(
-                self.sc, self._key, np.uint32(self._draws),
-                *self._pose_args())
+                self._key, np.uint32(self._draws), *self._pose_args())
             self._draws += 1
         else:
-            ir = self._render_fn(False)(self.sc, key, *self._pose_args())
+            ir = self._render_fn(False)(key, *self._pose_args())
         self._ir = np.asarray(ir)
         if self.write_ir_to_file_flag:
             self.dump_ir()
