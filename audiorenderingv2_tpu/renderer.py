@@ -181,11 +181,13 @@ class AudioRenderer:
 
         ``fold_inside=True`` is the product path: the per-draw
         ``fold_in(base_key, draws)`` runs INSIDE the compiled program, so
-        one render is ONE dispatch (an eager fold_in costs a separate
-        remote round trip through dispatch-tunnel backends — measured
-        ~40 ms of the r4 facade's 134-vs-94 ms gap vs the bench program).
-        ``False`` keeps the explicit-key signature for callers that
-        supply their own key (its stream is pinned by tests).
+        one render is ONE dispatch instead of dispatch + eager fold_in +
+        pose uploads. (Measured neutral on the remote-dispatch chip —
+        async dispatch overlaps the extra round trips — but it is fewer
+        RPCs; the facade's actual 134-to-85 ms r5 win was baking the
+        scene into the executable, docs/ROUND5.md 1b.) ``False`` keeps
+        the explicit-key signature for callers that supply their own key
+        (its stream is pinned by tests).
         """
         cache_key = (self.params, self.opts, self.n_rays, fold_inside)
         fn = self._fns.get(cache_key)
