@@ -50,7 +50,8 @@ def render_ir_matrix(
         per pair). Bounds peak memory at pair_batch * n_rays ray states;
         0 = all S*L pairs at once.
 
-    Returns float32 [S, L, 2, ir_length].
+    Returns float32 [S, L, 2, ir_length] — or [S, L, 2, n_bands,
+    ir_length] for banded scenes (params.n_bands > 1), every path.
     """
     if pair_batch is not None and pair_batch < 0:
         raise ValueError(f"pair_batch must be >= 0 (0 = all pairs at "
@@ -137,7 +138,8 @@ def render_ir_matrix(
                                        pose_indices=idx)
             chunks.append(np.asarray(irs))
         flat = np.concatenate(chunks)[:n_pairs]
-        # [S, L, 2, ir_length] — banded IRs carry the band axis before L.
+        # [S, L, 2(, n_bands), ir_length] — the per-pair IR shape after
+        # the leading pose axis.
         return flat.reshape((s, l) + flat.shape[1:])
     if mesh is None and pair_batch == 1:
         # Per-pair async dispatch of the plain single-pose program. On the
@@ -149,7 +151,7 @@ def render_ir_matrix(
         results = [one_pair(keys[i], em_p[i], rc_p[i], yw_p[i])
                    for i in range(n_pairs)]
         flat = np.stack([np.asarray(x) for x in results])
-        return flat.reshape(s, l, 2, params.ir_length)
+        return flat.reshape((s, l) + flat.shape[1:])
     batch = n_pairs if pair_batch in (0, None) else min(pair_batch, n_pairs)
     chunks = []
     for start in range(0, n_pairs, batch):
@@ -157,18 +159,21 @@ def render_ir_matrix(
         chunks.append(np.asarray(many(keys[idx], em_p[idx], rc_p[idx],
                                       yw_p[idx])))
     flat = np.concatenate(chunks)[:n_pairs]
-    return flat.reshape(s, l, 2, params.ir_length)
+    return flat.reshape((s, l) + flat.shape[1:])
 
 
 def mix_sources(
     ir_matrix: np.ndarray,
     signals: list[np.ndarray],
     sample_rate: int,
+    band_edges: tuple = (250.0, 1000.0, 4000.0),
 ) -> np.ndarray:
     """Auralize S sources at L listeners.
 
     Args:
-      ir_matrix: [S, L, 2, ir_length] from :func:`render_ir_matrix`.
+      ir_matrix: [S, L, 2, ir_length] from :func:`render_ir_matrix` —
+        or its banded form [S, L, 2, n_bands, ir_length], auralized
+        through the filterbank with ``band_edges``.
       signals: S mono dry signals (may have different lengths; zero-padded
         to the longest).
     Returns float32 [L, 2, max_len] — per-listener stereo mixes.
@@ -179,12 +184,23 @@ def mix_sources(
     max_len = max(sig.shape[0] for sig in signals)
     out = np.zeros((l, 2, max_len), np.float32)
     # One dispatch per source: all L listener convolutions vmapped.
-    convolve_l = jax.jit(
-        jax.vmap(convolve.convolve_file_stereo, in_axes=(None, 0, None)),
-        static_argnums=2)
+    if ir_matrix.ndim == 5:
+        from .ops import filterbank
+
+        convolve_l = jax.jit(
+            jax.vmap(filterbank.convolve_file_banded,
+                     in_axes=(None, 0, None, None)),
+            static_argnums=(2, 3))
+        extra = (tuple(band_edges),)
+    else:
+        convolve_l = jax.jit(
+            jax.vmap(convolve.convolve_file_stereo, in_axes=(None, 0, None)),
+            static_argnums=2)
+        extra = ()
     for si, sig in enumerate(signals):
         padded = np.zeros(max_len, np.float32)
         padded[: sig.shape[0]] = sig
         out += np.asarray(convolve_l(jnp.asarray(padded),
-                                     jnp.asarray(ir_matrix[si]), sample_rate))
+                                     jnp.asarray(ir_matrix[si]), sample_rate,
+                                     *extra))
     return out

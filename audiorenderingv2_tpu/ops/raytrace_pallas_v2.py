@@ -850,6 +850,12 @@ def trace_round_v2(state, coeffs, attrs, boxes, scal,
     use_sched = sched is not None
     if use_sched and not use_cull:
         raise ValueError("sched requires a clustered (boxes) scene")
+    if use_sched and isinstance(round_budget, int) and round_budget != 1:
+        # Candidate lists are computed from pre-round positions; a second
+        # bounce in the same round would silently miss clusters its rays
+        # moved into (the docstring's precondition, now enforced).
+        raise ValueError(f"sched requires round_budget == 1, got "
+                         f"{round_budget}")
     if boxes is None:
         boxes = jnp.zeros((1, 8), jnp.float32)
     if attrs is None:  # rows layout: everything lives in coeffs' rows
@@ -1026,7 +1032,10 @@ def tile_schedule_twostage(tiles: jax.Array, boxes: jax.Array,
     n_tiles = tiles.shape[0]
     C = boxes.shape[0]
     S = -(-(C + 1) // 8) * 8
-    cap = min(cap, S - 1)
+    # The interval rows carry at most C real candidate ids (slots past C
+    # are pad zeros — gathering them would duplicate cluster 0 in the
+    # exact-test set and inflate the count slot).
+    cap = min(cap, C)
     rows_iv = tile_schedule_interval(tiles, boxes)
     blo = boxes[:, 0:3]
     bhi = boxes[:, 3:6]
@@ -1110,6 +1119,9 @@ def tile_schedule(tiles: jax.Array, boxes: jax.Array,
         return tile_schedule_interval(tiles, boxes)
     if mode == "twostage":
         return tile_schedule_twostage(tiles, boxes)
+    if mode != "exact":
+        raise ValueError(f"unknown tile_schedule mode {mode!r}; expected "
+                         f"'exact', 'interval' or 'twostage'")
     n_tiles = tiles.shape[0]
     C = boxes.shape[0]
     S = -(-(C + 1) // 8) * 8

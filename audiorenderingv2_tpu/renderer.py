@@ -215,6 +215,12 @@ class AudioRenderer:
                                 emitter, rec_pos, yaw_deg)
             else:
                 fn = jax.jit(body)
+            if len(self._fns) >= 8:
+                # Each cached executable carries its own baked scene
+                # constants; bound the cache (FIFO) so a parameter sweep
+                # over set_thresholds/set_base_power cannot accumulate
+                # scene copies without limit.
+                self._fns.pop(next(iter(self._fns)))
             self._fns[cache_key] = fn
         return fn
 

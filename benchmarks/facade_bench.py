@@ -42,7 +42,15 @@ def main():
     n_rays = int(os.environ.get("AR2_FACADE_RAYS", 1_000_000))
 
     # --- small scene through the facade (reference config.json workload)
-    scene = ar.load_scene("/root/reference/assets/models/3D_U.obj", [])
+    # The SAME materials list bench.py/warmup.py load (the names match no
+    # scene material, so absorptions resolve to the 0.5 default either
+    # way, but identical construction keeps the scene arrays — and any
+    # cache keys derived from them — byte-identical).
+    materials = [ar.MaterialSpec(n, a) for n, a in
+                 [("low", 0.1), ("med", 0.3), ("high", 0.6),
+                  ("red", 0.2), ("blue", 0.9)]]
+    scene = ar.load_scene("/root/reference/assets/models/3D_U.obj",
+                          materials)
     r = AudioRenderer(scene, ir_seconds=2, sample_rate=16000,
                       n_rays=n_rays, base_power=3.62, max_bounces=100,
                       hrtf_absorption_rate=0.9)

@@ -188,3 +188,37 @@ def test_fused_pose_batch_banded():
             float(yaws[li]), params, popts))
         np.testing.assert_allclose(fused[0, li], single, rtol=1e-4,
                                    atol=1e-7)
+
+
+def test_banded_matrix_fallback_and_mix_shapes():
+    """Every render_ir_matrix path returns the banded [S, L, 2, n_bands,
+    ir_length] shape, and mix_sources auralizes it via the filterbank
+    (r5 contract fix — the fallback paths used to crash on banded)."""
+    from audiorenderingv2_tpu import testing
+
+    v, t = testing.box_room((6.0, 4.0, 5.0))
+    absorb = np.tile(np.array([[0.1, 0.3, 0.5, 0.7]], np.float32),
+                     (t.shape[0], 1))
+    scene = testing.scene_from_arrays(v, t, absorb)
+    sc = ar.scene_to_arrays(scene, 128)
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=4, n_bands=4)
+    xopts = ar.TracerOptions(backend="xla", block_size=512, tri_chunk=128)
+    key = jax.random.PRNGKey(9)
+    emitters = np.array([[0.5, 0.2, -0.3]], np.float32)
+    receivers = np.array([[1.5, 0.0, 1.0], [-1.0, -0.5, 0.8]], np.float32)
+    yaws = np.array([0.0, 30.0], np.float32)
+    # vmapped fallback (xla backend -> fused_ok False)
+    m = multi.render_ir_matrix(sc, key, emitters, receivers, yaws, 256,
+                               params, xopts, pair_batch=2)
+    assert m.shape == (1, 2, 2, 4, SR)
+    # per-pair path
+    m1 = multi.render_ir_matrix(sc, key, emitters, receivers, yaws, 256,
+                                params, xopts, pair_batch=1)
+    assert m1.shape == (1, 2, 2, 4, SR)
+    np.testing.assert_allclose(m, m1, rtol=1e-5, atol=1e-8)
+    # banded mix
+    sig = np.random.default_rng(0).standard_normal(SR // 2).astype(np.float32)
+    out = multi.mix_sources(m, [sig], SR)
+    assert out.shape == (2, 2, SR // 2)
+    assert np.isfinite(out).all()

@@ -382,9 +382,12 @@ def test_interval_prefilter_superset_and_parity():
     scal = rp._scalars(jnp.zeros(3, jnp.float32), rec, jnp.float32(0.2),
                        e0, params)
     coeffs, attrs, boxes2 = rp2.pack_tris_v2(sc, 1, tri_block=32)
-    sched0 = rp2.tile_schedule(tiles, boxes2)
-    tiles2 = rp2.trace_round_v2(tiles, coeffs, attrs, boxes2, scal, params,
-                                2, True, sched=sched0, tri_block=32)
+    tiles2 = tiles
+    for _ in range(2):  # advance a mid-trace state (1-bounce sched rounds)
+        sched0 = rp2.tile_schedule(tiles2, boxes2)
+        tiles2 = rp2.trace_round_v2(tiles2, coeffs, attrs, boxes2, scal,
+                                    params, 1, True, sched=sched0,
+                                    tri_block=32)
     for tl in (tiles, tiles2):
         ex = np.asarray(rp2.tile_schedule(tl, boxes2))
         iv = np.asarray(rp2.tile_schedule_interval(tl, boxes2))
@@ -431,9 +434,12 @@ def test_twostage_schedule_superset_and_parity():
     scal = rp._scalars(jnp.zeros(3, jnp.float32), rec, jnp.float32(0.2),
                        e0, params)
     coeffs, attrs, boxes2 = rp2.pack_tris_v2(sc, 1, tri_block=32)
-    sched0 = rp2.tile_schedule(tiles, boxes2)
-    tiles2 = rp2.trace_round_v2(tiles, coeffs, attrs, boxes2, scal, params,
-                                2, True, sched=sched0, tri_block=32)
+    tiles2 = tiles
+    for _ in range(2):  # advance a mid-trace state (1-bounce sched rounds)
+        sched0 = rp2.tile_schedule(tiles2, boxes2)
+        tiles2 = rp2.trace_round_v2(tiles2, coeffs, attrs, boxes2, scal,
+                                    params, 1, True, sched=sched0,
+                                    tri_block=32)
     for cap in (8, 40):  # small caps force the overflow fallback too
         for tl in (tiles, tiles2):
             ex = np.asarray(rp2.tile_schedule(tl, boxes2))
