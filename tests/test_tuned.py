@@ -86,12 +86,16 @@ def _tiny_scene():
     return testing.scene_from_arrays(v, t, 0.3)
 
 
-def test_renderer_auto_opts_cpu_backend_unchanged():
-    # On CPU the auto path resolves to the plain XLA options, so the
-    # pre-r5 CPU behavior (and its test expectations) are intact.
+def test_renderer_auto_opts_default_backend():
+    # On CPU the auto path resolves to the plain XLA options (the pre-r5
+    # behavior); on the TPU-gated suite it resolves to the tuned pallas
+    # config. Either way the render must run.
+    import jax
+
     r = AudioRenderer(_tiny_scene(), ir_seconds=1, sample_rate=8000,
                       n_rays=128, max_bounces=8)
-    assert r.opts.backend == "xla"
+    expected = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert r.opts.backend == expected
     ir = r.render()
     assert ir.shape == (2, 8000)
     assert np.isfinite(ir).all()
