@@ -150,7 +150,11 @@ def main():
     log(f"dispatch-latency samples: {[f'{t*1000:.1f}ms' for t in times]}; "
         f"median {t_dispatch*1000:.1f} ms")
 
-    G = int(os.environ.get("AR2_BENCH_GROUP", 3))
+    # Group size 8: the r5 sweep (group_sweep_r5.log) measured 87.6 /
+    # 71.7 / 65.5 / 62.8 / 60.8 / 59.1 ms/render at G=1/2/3/4/6/8 — the
+    # ~28 ms per-dispatch round trip amortizes toward the ~57 ms
+    # device-side floor; 3 groups of 8 = 24 renders per measurement.
+    G = int(os.environ.get("AR2_BENCH_GROUP", 8))
     gtimes = []
     gchecks = []
     for g in range(3):

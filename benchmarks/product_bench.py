@@ -40,7 +40,7 @@ from audiorenderingv2_tpu.renderer import AudioRenderer
 N_RAYS = int(os.environ.get("AR2_PB_RAYS", 1_000_000))
 N_RAYS_MATRIX = int(os.environ.get("AR2_PB_RAYS_MATRIX", 250_000))
 
-OUT = Path(__file__).parent / "results" / "product_bench_r4.json"
+OUT = Path(__file__).parent / "results" / "product_bench_r5.json"
 report = {}
 
 
