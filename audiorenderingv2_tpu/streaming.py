@@ -197,6 +197,13 @@ class Auralizer:
         length = samples.shape[0]
         out = np.zeros((2, length), np.float32)
         chunk = max(1, int(round(self.chunk_seconds * sr)))
+        # Stage the dry signal on device ONCE: every re-convolution then
+        # skips the host->device upload (jnp.asarray of a device array is
+        # a no-op), which on remote-dispatch backends is a per-cycle
+        # round trip of the whole signal.
+        import jax
+
+        samples = jax.device_put(np.asarray(samples, np.float32))
         worker = (AsyncRenderWorker(self.renderer, samples)
                   if self.async_render else None)
         current: np.ndarray | None = None
