@@ -108,12 +108,16 @@ def load_obj(path: str | Path) -> MeshData:
                     material_names.append(name)
                 current_material = material_ids[name]
             elif tag == "mtllib" and len(parts) > 1:
-                # Register declared materials so ids exist even for unused ones.
-                mtl_path = path.parent / line.split(None, 1)[1].strip()
-                for name in parse_mtl(mtl_path):
-                    if name not in material_ids:
-                        material_ids[name] = len(material_names)
-                        material_names.append(name)
+                # Register declared materials so ids exist even for unused
+                # ones. An mtllib line may list SEVERAL libraries
+                # (whitespace-separated, valid OBJ); spaces inside one
+                # filename are not supported (nor by the reference's
+                # tinyobj usage).
+                for lib in line.split(None, 1)[1].strip().split():
+                    for name in parse_mtl(path.parent / lib):
+                        if name not in material_ids:
+                            material_ids[name] = len(material_names)
+                            material_names.append(name)
             # vn/vt/o/g/s/l ignored — the acoustic tracer only needs geometry;
             # normals are recomputed from winding like the reference does
             # (devicePrograms.cu:75-77 uses the geometric normal, not vn).

@@ -62,6 +62,9 @@ def read_wav(path: str | Path) -> AudioData:
         (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + chunk_size]
         if chunk_id == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"{path}: truncated fmt chunk "
+                                 f"({len(body)} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
             if fmt[0] == _WAVE_FORMAT_EXTENSIBLE and chunk_size >= 40:
                 # True format lives in the first 2 bytes of the SubFormat GUID.
@@ -74,6 +77,8 @@ def read_wav(path: str | Path) -> AudioData:
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if n_channels < 1:
+        raise ValueError(f"{path}: invalid channel count {n_channels}")
 
     if audio_format == _WAVE_FORMAT_PCM:
         if bits == 8:
@@ -169,6 +174,24 @@ def _decode_be_pcm(raw: bytes, bits: int, where: str) -> np.ndarray:
     raise ValueError(f"{where}: unsupported AIFF bit depth {bits}")
 
 
+def _decode_le_pcm(raw: bytes, bits: int, where: str) -> np.ndarray:
+    """Little-endian signed PCM -> float32 (AIFC 'sowt' at any depth —
+    a 24/32-bit sowt file decoded big-endian would be full-scale noise)."""
+    if bits == 8:
+        return np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
+    if bits == 16:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.uint32)
+        v = ((b[:, 2] << 16) | (b[:, 1] << 8) | b[:, 0]).astype(np.int32)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.float32) / 8388608.0
+    if bits == 32:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    raise ValueError(f"{where}: unsupported AIFF bit depth {bits}")
+
+
 def _read_float80(b: bytes) -> float:
     """IEEE 754 80-bit extended float (the AIFF COMM sample rate,
     AudioFile.h's sampleRate decode). Layout: 1 sign + 15 exponent bits,
@@ -233,8 +256,10 @@ def read_aiff(path: str | Path) -> AudioData:
     if comm is None or ssnd is None:
         raise ValueError(f"{path}: missing COMM/SSND chunk")
     n_channels, n_frames, bits, rate = comm[:4]
-    if len(comm) == 5 and bits == 16:  # AIFC little-endian PCM
-        x = np.frombuffer(ssnd, dtype="<i2").astype(np.float32) / 32768.0
+    if n_channels < 1:
+        raise ValueError(f"{path}: invalid channel count {n_channels}")
+    if len(comm) == 5:  # AIFC 'sowt': little-endian PCM at ANY bit depth
+        x = _decode_le_pcm(ssnd, bits, str(path))
     else:
         x = _decode_be_pcm(ssnd, bits, str(path))
     frames = min(len(x) // n_channels, n_frames) if n_frames else len(x) // n_channels

@@ -48,6 +48,9 @@ def init_distributed(coordinator_address: str | None = None,
     initialized or single-process."""
     if num_processes is None or num_processes <= 1:
         return
+    state = getattr(jax._src.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # the documented no-op: runtime already initialized
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -129,6 +129,11 @@ class ReRenderPolicy:
         pos = np.asarray(pos, np.float32)
         if self._last_pos is None:
             self._note(t, pos, yaw_deg)
+            # Seed query-to-query motion tracking too: otherwise motion in
+            # the first inter-query interval is unobserved and the settle
+            # re-render can never fire after a small (sub-threshold) move.
+            self._query_pos = pos.copy()
+            self._query_yaw = float(yaw_deg)
             return True
         # Track when motion was last OBSERVED (query-to-query), so the
         # settle timer measures time since motion stopped, not since it
@@ -216,7 +221,9 @@ class Auralizer:
                     if fire or current is None:
                         worker.request(pos, yaw)
                     if current is None:
-                        worker.wait_idle()  # block only for the first IR
+                        # Block only for the first IR; no timeout — the
+                        # first cycle may be a multi-minute jit compile.
+                        worker.wait_idle(timeout=None)
                     latest = worker.latest
                     if latest is not None:
                         current = latest
@@ -227,7 +234,7 @@ class Auralizer:
                 out[:, start:stop] = current[:, start:stop]
         finally:
             if worker is not None:
-                worker.wait_idle()
+                worker.wait_idle(timeout=None)
                 self.renders += worker.renders
                 worker.close()
         return out * self.volume
@@ -258,6 +265,7 @@ class AsyncRenderWorker:
         self._renders = 0
         self._stop = False
         self._is_rendering = False
+        self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -285,14 +293,25 @@ class AsyncRenderWorker:
             self._cv.notify()
 
     def wait_idle(self, timeout: float = 60.0) -> None:
-        """Block until no render is queued or in flight (for tests/offline)."""
-        deadline = time.time() + timeout
+        """Block until no render is queued or in flight (for tests/offline).
+
+        Re-raises a render-thread failure instead of letting callers see
+        only its downstream symptoms (a stale IR / a None ``latest``).
+        ``timeout=None`` waits indefinitely — the right choice when the
+        wait covers a first-use jit compile, which on remote-compile
+        backends can take minutes (docs/ROUND4.md §5)."""
+        deadline = None if timeout is None else time.time() + timeout
         with self._cv:
             while (self._pending is not None or self._is_rendering):
-                remaining = deadline - time.time()
-                if remaining <= 0:
-                    raise TimeoutError("render worker still busy")
-                self._cv.wait(min(remaining, 0.1))
+                if self._error is not None:
+                    raise RuntimeError("render worker failed") from self._error
+                if deadline is not None:
+                    remaining = deadline - time.time()
+                    if remaining <= 0:
+                        raise TimeoutError("render worker still busy")
+                self._cv.wait(0.1)
+            if self._error is not None:
+                raise RuntimeError("render worker failed") from self._error
 
     def close(self) -> None:
         with self._cv:
@@ -311,6 +330,8 @@ class AsyncRenderWorker:
                 self._pending = None
                 self._is_rendering = True
             try:
+                if self._error is not None:
+                    return  # a previous cycle failed; stop consuming work
                 if self.samples is None:  # live mode: render only
                     t0 = time.perf_counter()
                     with self.renderer.lock:
@@ -330,6 +351,9 @@ class AsyncRenderWorker:
                     if out is not None:
                         self._latest = out
                     self._renders += 1
+            except BaseException as e:  # surfaced via wait_idle/latest
+                with self._cv:
+                    self._error = e
             finally:
                 with self._cv:
                     self._is_rendering = False

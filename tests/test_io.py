@@ -132,3 +132,63 @@ def test_read_audio_dispatch(tmp_path):
     (tmp_path / "bad.bin").write_bytes(b"XXXXXXXX")
     with pytest.raises(ValueError):
         wav_io.read_audio(tmp_path / "bad.bin")
+
+
+def test_aifc_sowt_24bit_roundtrip(tmp_path):
+    """24-bit little-endian ('sowt') AIFC decodes as audio, not as
+    byte-swapped noise (r5 review fix)."""
+    import struct
+
+    from audiorenderingv2_tpu.io import wav as wav_io
+
+    sr = 8000
+    x = (np.sin(2 * np.pi * 440 * np.arange(64) / sr)).astype(np.float32)
+    v = np.clip((x * 8388607).astype(np.int64), -(1 << 23), (1 << 23) - 1)
+    v24 = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+    le = np.zeros((64, 3), np.uint8)
+    le[:, 0] = v24 & 0xFF
+    le[:, 1] = (v24 >> 8) & 0xFF
+    le[:, 2] = (v24 >> 16) & 0xFF
+    ssnd_body = struct.pack(">II", 0, 0) + le.tobytes()
+
+    def f80(rate):
+        # minimal 80-bit float encode for integer rates
+        import math
+
+        m, e = math.frexp(rate)
+        mant = int(m * (1 << 64))
+        return struct.pack(">HQ", 16382 + e, mant)
+
+    comm = struct.pack(">hIh", 1, 64, 24) + f80(sr) + b"sowt" + b"\x00\x00"
+    chunks = (b"COMM" + struct.pack(">I", len(comm)) + comm
+              + b"SSND" + struct.pack(">I", len(ssnd_body)) + ssnd_body)
+    form = b"AIFC" + chunks
+    data = b"FORM" + struct.pack(">I", len(form)) + form
+    p = tmp_path / "t.aifc"
+    p.write_bytes(data)
+    audio = wav_io.read_audio(p)
+    assert audio.sample_rate == sr
+    np.testing.assert_allclose(audio.samples[0], x, atol=2e-6)
+
+
+def test_wav_malformed_fmt_raises_value_error(tmp_path):
+    import struct
+
+    from audiorenderingv2_tpu.io import wav as wav_io
+
+    # zero channels
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 16000, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    p = tmp_path / "bad.wav"
+    p.write_bytes(data)
+    with pytest.raises(ValueError):
+        wav_io.read_wav(p)
+    # truncated fmt chunk
+    body = (b"fmt " + struct.pack("<I", 6) + b"\1\0\1\0\0\0"
+            + b"data" + struct.pack("<I", 0))
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    p.write_bytes(data)
+    with pytest.raises(ValueError):
+        wav_io.read_wav(p)

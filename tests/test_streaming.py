@@ -1,6 +1,8 @@
 """Ring buffer + re-render policy semantics (CircularBuffer.h, main.cpp:470-498)."""
 import numpy as np
+import pytest
 
+from audiorenderingv2_tpu import streaming
 from audiorenderingv2_tpu.streaming import ReRenderPolicy, RingBuffer, ListenerTrajectory, TrajectoryPoint
 
 
@@ -203,3 +205,32 @@ def test_auralizer_async_mode():
     assert np.isfinite(out).all()
     assert (out != 0).any()
     assert aur.renders >= 2  # initial + at least one movement re-render
+
+
+def test_policy_settle_fires_after_first_interval_move():
+    """Motion in the FIRST inter-query interval must arm the settle timer
+    (r5 review fix: the first query now seeds query-to-query tracking)."""
+    p = streaming.ReRenderPolicy(distance_threshold=2.0,
+                                 angle_threshold=5.0, settle_seconds=1.0)
+    assert p.should_render(0.0, np.zeros(3), 0.0)  # initial render
+    # a 1 m (sub-threshold) move right after, then stillness
+    assert not p.should_render(0.5, np.array([1.0, 0.0, 0.0]), 0.0)
+    assert not p.should_render(1.0, np.array([1.0, 0.0, 0.0]), 0.0)
+    # settle timer (1 s after motion stopped being observed) fires
+    assert p.should_render(1.6, np.array([1.0, 0.0, 0.0]), 0.0)
+
+
+def test_async_worker_surfaces_render_failure():
+    """A render-thread exception reaches the caller through wait_idle
+    instead of being swallowed (r5 review fix)."""
+    class Boom:
+        lock = __import__("threading").RLock()
+
+        def full_render_cycle(self, pos, yaw, samples):
+            raise RuntimeError("kaboom")
+
+    w = streaming.AsyncRenderWorker(Boom(), samples=np.zeros(8, np.float32))
+    w.request(np.zeros(3), 0.0)
+    with pytest.raises(RuntimeError, match="render worker failed"):
+        w.wait_idle(timeout=10.0)
+    w.close()
