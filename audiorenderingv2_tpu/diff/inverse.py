@@ -222,17 +222,32 @@ def fit_scene_parameters(
     # buffers: the host only syncs at chunk boundaries (topology refresh,
     # checkpoint, per-step callback), so a thousand-step fit is one or a few
     # device dispatches instead of a float() round-trip per step.
+    # ONE static chunk length for the whole fit (the largest host-sync
+    # interval): a shorter tail chunk runs at the same compiled shape with
+    # its surplus steps masked to no-ops, instead of recompiling the full
+    # value_and_grad scan for every distinct remainder length (tail waste
+    # is bounded by one chunk of forward/backward compute; a recompile on
+    # chip costs seconds to minutes).
     @functools.partial(jax.jit, donate_argnums=(0, 1),
                        static_argnames=("k",))
-    def run_chunk(theta, opt_state, paths, k):
-        def body(carry, _):
+    def run_chunk(theta, opt_state, paths, k, n_real=None):
+        if n_real is None:
+            n_real = k
+
+        def body(carry, idx):
             theta, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(theta, paths)
-            updates, opt_state = optimizer.update(grads, opt_state)
-            return (optax.apply_updates(theta, updates), opt_state), loss
+            updates, opt_state2 = optimizer.update(grads, opt_state)
+            theta2 = optax.apply_updates(theta, updates)
+            live = idx < n_real
+            theta = jax.tree.map(lambda a, b: jnp.where(live, b, a),
+                                 theta, theta2)
+            opt_state = jax.tree.map(lambda a, b: jnp.where(live, b, a),
+                                     opt_state, opt_state2)
+            return (theta, opt_state), loss
 
         (theta, opt_state), chunk_losses = jax.lax.scan(
-            body, (theta, opt_state), None, length=k)
+            body, (theta, opt_state), jnp.arange(k))
         return theta, opt_state, chunk_losses
 
     theta = theta0
@@ -246,6 +261,14 @@ def fit_scene_parameters(
             start_step, theta, opt_state, losses = restored
 
     refresh = max(replay_refresh, 1)
+    chunk_cap = steps
+    if use_replay:
+        chunk_cap = min(chunk_cap, refresh)
+    if checkpoint_path is not None:
+        chunk_cap = min(chunk_cap, checkpoint_every)
+    if callback is not None:
+        chunk_cap = 1
+    chunk_cap = max(chunk_cap, 1)
     paths = None
     i = start_step
     while i < steps:
@@ -263,8 +286,9 @@ def fit_scene_parameters(
         if callback is not None:
             nxt = min(nxt, i + 1)
         k = nxt - i
-        theta, opt_state, chunk_losses = run_chunk(theta, opt_state, paths, k)
-        chunk_losses = np.asarray(chunk_losses)
+        theta, opt_state, chunk_losses = run_chunk(
+            theta, opt_state, paths, chunk_cap, np.int32(k))
+        chunk_losses = np.asarray(chunk_losses)[:k]
         losses.extend(float(l) for l in chunk_losses)
         if callback is not None:
             callback(i, float(chunk_losses[-1]), theta)
