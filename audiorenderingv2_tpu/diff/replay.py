@@ -30,6 +30,13 @@ diff/inverse.py's grid+refine loop for the same idea applied to pose).
 Replay forward == tracer forward exactly (same arithmetic on the same
 path), tested in tests/test_replay.py; gradients are checked against the
 full-tracer autodiff and finite differences.
+
+MAINTENANCE INVARIANT: the bounce physics (alive predicate, receiver-
+before-surface ordering, reflect/absorb/offset updates) exists in THREE
+deliberately-specialized forms — core/tracer.py::_bounce_step (full
+nearest-hit search), record_paths' step (search + topology capture), and
+replay_events' step (gather, no search). Any physics change must land in
+all three; tests/test_replay.py's exact-equality tests are the tripwire.
 """
 from __future__ import annotations
 
