@@ -216,7 +216,8 @@ def test_banded_matrix_fallback_and_mix_shapes():
     m1 = multi.render_ir_matrix(sc, key, emitters, receivers, yaws, 256,
                                 params, xopts, pair_batch=1)
     assert m1.shape == (1, 2, 2, 4, SR)
-    np.testing.assert_allclose(m, m1, rtol=1e-5, atol=1e-8)
+    # two program structures -> f32 summation-order drift on chip
+    np.testing.assert_allclose(m, m1, rtol=1e-4, atol=1e-7)
     # banded mix
     sig = np.random.default_rng(0).standard_normal(SR // 2).astype(np.float32)
     out = multi.mix_sources(m, [sig], SR)
