@@ -136,6 +136,13 @@ def build_clusters(scene: Scene, cluster_size: int = CLUSTER_SIZE) -> ClusterDat
     triangles. Call on a scene already passed through
     :func:`sort_scene_for_clusters`."""
     t_pad = scene.t_padded
+    if t_pad % cluster_size:
+        # A floor division here would leave the trailing triangles without
+        # a box; downstream the kernel re-derives the cluster size from
+        # t_pad // n_clusters and could silently cull against MISALIGNED
+        # boxes (rays through uncovered triangles would vanish).
+        raise ValueError(f"cluster_size {cluster_size} does not divide the "
+                         f"padded triangle count {t_pad}")
     n_clusters = t_pad // cluster_size
     lo = np.full((n_clusters, 3), np.inf, np.float32)
     hi = np.full((n_clusters, 3), -np.inf, np.float32)

@@ -38,20 +38,12 @@ def histogram_sum(bins: jax.Array, weights: jax.Array, n_bins: int) -> jax.Array
     bins/weights may have any (equal) shape; they are flattened. Entries with
     bin < 0 or bin >= n_bins are dropped. Returns float32 [n_bins].
     """
-    bins = bins.reshape(-1)
-    weights = weights.reshape(-1).astype(jnp.float32)
-    # Out-of-range events go to a virtual overflow bucket past the last edge.
-    oob = (bins < 0) | (bins >= n_bins)
-    bins = jnp.where(oob, n_bins, bins).astype(jnp.int32)
-
-    sorted_bins, sorted_w = jax.lax.sort_key_val(bins, weights)
-    csum = jnp.cumsum(sorted_w)
-    csum = jnp.concatenate([jnp.zeros((1,), jnp.float32), csum])
-    # ends[b] = number of events with bin <= b; starts are the previous ends.
-    edges = jnp.arange(n_bins, dtype=jnp.int32)
-    ends = jnp.searchsorted(sorted_bins, edges, side="right").astype(jnp.int32)
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
-    return csum[ends] - csum[starts]
+    # The n_bands=1 case of histogram_sum_banded (one implementation to
+    # keep in sync); always the sort path — callers wanting the Pallas
+    # kernel use the banded entry point.
+    return histogram_sum_banded(bins.reshape(-1),
+                                weights.reshape(-1, 1), n_bins,
+                                use_pallas=False)[:, 0]
 
 
 # Set False to force the sort-based path even on TPU (debug escape hatch);
@@ -80,6 +72,12 @@ def histogram_sum_banded(bins: jax.Array, weights: jax.Array,
     plumbs this from the tracer).
     """
     bins = bins.reshape(-1)
+    if bins.shape[0] != weights.shape[0]:
+        # JAX gather clamps out-of-bounds indices, so a length mismatch
+        # would silently double-count the last weight row instead of
+        # erroring downstream.
+        raise ValueError(f"{bins.shape[0]} bins but {weights.shape[0]} "
+                         f"weight rows")
     if use_pallas is None:
         use_pallas = (USE_PALLAS_HISTOGRAM and bins.size >= 65536
                       and jax.default_backend() == "tpu")
@@ -89,6 +87,22 @@ def histogram_sum_banded(bins: jax.Array, weights: jax.Array,
         if histogram_pallas.fits_vmem(n_bins, weights.shape[-1]):
             return histogram_pallas.histogram_sum_banded_pallas(
                 bins, weights.astype(jnp.float32), n_bins)
+        # Accumulator past the VMEM budget (long IRs x bands): chunk the
+        # BIN RANGE and keep the direct accumulation — the sort fallback's
+        # f32 running sum zeroes small late deposits at millions of events
+        # (module-header CAUTION). Every chunk shares one compiled kernel
+        # (fixed chunk width; the tail slices its output), re-reading the
+        # events per chunk — a few extra event passes instead of a
+        # silently truncated reverb tail.
+        chunk = histogram_pallas.max_bins(weights.shape[-1])
+        if chunk >= 1:
+            w32 = weights.astype(jnp.float32)
+            outs = []
+            for lo in range(0, n_bins, chunk):
+                b = bins - lo  # in-range events land in [0, chunk)
+                outs.append(histogram_pallas.histogram_sum_banded_pallas(
+                    b, w32, chunk)[: min(chunk, n_bins - lo)])
+            return jnp.concatenate(outs, axis=0)
     e, n_bands = weights.shape
     weights = weights.astype(jnp.float32)
     oob = (bins < 0) | (bins >= n_bins)

@@ -99,7 +99,14 @@ def run_experiment(renderer, samples: np.ndarray | None = None,
     for i in range(-warmup, rounds):
         t0 = time.perf_counter()
         ir = renderer.render()
-        jax.block_until_ready(ir) if hasattr(ir, "block_until_ready") else None
+        if not isinstance(ir, np.ndarray):
+            # Generic renderers may return a device array; device_fence
+            # (host materialization) is the only completion fence this
+            # backend honors — block_until_ready returned early through
+            # the remote tunnel twice (docs/ROUND4.md 1b/5b).
+            from .utils.profiling import device_fence
+
+            device_fence(ir)
         t_render = time.perf_counter() - t0
 
         t_conv = t_proc = 0.0

@@ -66,8 +66,7 @@ def _hist_pallas_raw(flat: jax.Array, weights: jax.Array, n_bins: int,
     e = flat.shape[0]
     n_bands = weights.shape[1]
     # Histogram rows: one spare slot for dropped events, sublane-aligned.
-    r_pad = -(-(n_bins + 1) // _LANES)
-    r_pad = -(-r_pad // 8) * 8
+    r_pad = _r_pad(n_bins)
     sentinel = r_pad * _LANES - 1
 
     oob = (flat < 0) | (flat >= n_bins)
@@ -102,9 +101,24 @@ def _hist_pallas_raw(flat: jax.Array, weights: jax.Array, n_bins: int,
     return out.reshape(n_bands, r_pad * _LANES)[:, :n_bins].T
 
 
+def _r_pad(n_bins: int) -> int:
+    """Accumulator rows for ``n_bins`` + 1 sentinel slot, sublane-aligned.
+    The ONE definition shared by the kernel and its VMEM guard (a drifted
+    copy would let fits_vmem approve allocations the kernel exceeds)."""
+    r = -(-(n_bins + 1) // _LANES)
+    return -(-r // 8) * 8
+
+
 def fits_vmem(n_bins: int, n_bands: int) -> bool:
-    r_pad = -(-(-(-(n_bins + 1) // _LANES)) // 8) * 8
-    return n_bands * r_pad * _LANES * 4 <= _MAX_ACC_BYTES
+    return n_bands * _r_pad(n_bins) * _LANES * 4 <= _MAX_ACC_BYTES
+
+
+def max_bins(n_bands: int) -> int:
+    """Largest n_bins whose accumulator fits the VMEM budget — the bin-
+    range chunk size binning.histogram_sum_banded uses for long IRs."""
+    r_max = _MAX_ACC_BYTES // (n_bands * _LANES * 4)
+    r_max = (r_max // 8) * 8
+    return max(r_max * _LANES - 1, 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

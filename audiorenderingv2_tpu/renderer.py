@@ -128,6 +128,8 @@ class AudioRenderer:
         self._key = jax.random.PRNGKey(seed)
         self._draws = 0
         self._ir: np.ndarray | None = None
+        self._ir_dev = None  # last IR as a device array (avoids re-staging
+        #                      the host copy on every convolve dispatch)
         self._fns: dict = {}
         # Debug dumps mirroring the reference's one-shot flags
         # (AudioRenderer.cpp:525-567, 720-744; config write_first_* keys).
@@ -244,11 +246,21 @@ class AudioRenderer:
             self._draws += 1
         else:
             ir = self._render_fn(False)(key, *self._pose_args())
+        self._ir_dev = ir  # device-resident copy for the convolve paths
         self._ir = np.asarray(ir)
         if self.write_ir_to_file_flag:
             self.dump_ir()
             self.write_ir_to_file_flag = False  # one-shot, like the reference
         return self._ir
+
+    def _ir_device(self):
+        """The current IR as a device array — the render's own output when
+        available, so convolve dispatches do not re-upload the host copy
+        (large jit arguments measured ~40 ms/call through the remote
+        tunnel, docs/ROUND5.md 1b)."""
+        if self._ir_dev is not None:
+            return self._ir_dev
+        return jnp.asarray(self._ir)
 
     @property
     def ir(self) -> np.ndarray | None:
@@ -284,11 +296,11 @@ class AudioRenderer:
             from .ops import filterbank
 
             out = np.asarray(filterbank.convolve_file_banded(
-                jnp.asarray(samples, jnp.float32), jnp.asarray(self._ir),
+                jnp.asarray(samples, jnp.float32), self._ir_device(),
                 self.params.sample_rate, self.band_edges))
         else:
             out = np.asarray(convolve.convolve_file_stereo(
-                jnp.asarray(samples, jnp.float32), jnp.asarray(self._ir),
+                jnp.asarray(samples, jnp.float32), self._ir_device(),
                 self.params.sample_rate))
         if self.write_output_to_file_flag:
             import os
@@ -316,10 +328,10 @@ class AudioRenderer:
             from .ops import filterbank
 
             return filterbank.convolve_file_banded(
-                samples_dev, jnp.asarray(self._ir),
+                samples_dev, self._ir_device(),
                 self.params.sample_rate, self.band_edges)
         return convolve.convolve_file_stereo(
-            samples_dev, jnp.asarray(self._ir), self.params.sample_rate)
+            samples_dev, self._ir_device(), self.params.sample_rate)
 
     def convolve_audio_file_device_checksum(self, samples_dev) -> float:
         """Single-dispatch convolution returning a scalar checksum.
@@ -338,10 +350,10 @@ class AudioRenderer:
             from .ops import filterbank
 
             return float(_banded_conv_sum(
-                samples_dev, jnp.asarray(self._ir),
+                samples_dev, self._ir_device(),
                 self.params.sample_rate, self.band_edges,
                 filterbank.convolve_file_banded))
-        return float(_stereo_conv_sum(samples_dev, jnp.asarray(self._ir),
+        return float(_stereo_conv_sum(samples_dev, self._ir_device(),
                                       self.params.sample_rate))
 
     def convolve_live_input(self, block: np.ndarray, ring_buffer) -> None:
@@ -364,11 +376,11 @@ class AudioRenderer:
             from .ops import filterbank
 
             out = filterbank.convolve_live_banded(
-                jnp.asarray(padded), jnp.asarray(self._ir),
+                jnp.asarray(padded), self._ir_device(),
                 self.params.sample_rate, self.band_edges)
         else:
             out = convolve.convolve_live(jnp.asarray(padded),
-                                         jnp.asarray(self._ir))
+                                         self._ir_device())
         inter = np.asarray(convolve.interleave_stereo(out[0], out[1]))
         ring_buffer.add(inter)
 

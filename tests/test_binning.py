@@ -138,3 +138,45 @@ def test_soft_cross_ear_overflow_fallback():
     np.testing.assert_allclose(soft[1, 97], 0.75, rtol=1e-6)
     # energy conservation: nothing dropped in either mode
     np.testing.assert_allclose(soft.sum(), hard.sum(), rtol=1e-6)
+
+
+def test_chunked_pallas_histogram_matches_sort(monkeypatch):
+    """Long-IR accumulators past the VMEM budget chunk the BIN RANGE
+    through the Pallas kernel (r5 fix: the silent sort-path fallback's
+    f32 running sum zeroes small late deposits at scale)."""
+    import jax.numpy as jnp
+
+    from audiorenderingv2_tpu.core import binning
+    from audiorenderingv2_tpu.ops import histogram_pallas as hp
+
+    monkeypatch.setattr(hp, "_MAX_ACC_BYTES", 8 * 128 * 4 * 2)
+    orig = hp.histogram_sum_banded_pallas
+    monkeypatch.setattr(hp, "histogram_sum_banded_pallas",
+                        lambda f, w, nb: orig(f, w, nb, interpret=True))
+    assert not hp.fits_vmem(7000, 2)
+    assert 1 <= hp.max_bins(2) < 7000
+    rng = np.random.default_rng(0)
+    bins_np = rng.integers(-5, 7100, 4096)
+    w_np = rng.random((4096, 2)).astype(np.float32)
+    out = binning.histogram_sum_banded(jnp.asarray(bins_np, jnp.int32),
+                                       jnp.asarray(w_np), 7000,
+                                       use_pallas=True)
+    assert out.shape == (7000, 2)
+    # float64 scatter oracle (the sort path itself carries the cumsum
+    # swamping error this fix avoids, so it is NOT the reference here)
+    ref = np.zeros((7000, 2))
+    for b, wv in zip(bins_np, w_np.astype(np.float64)):
+        if 0 <= b < 7000:
+            ref[b] += wv
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-7)
+
+
+def test_histogram_length_mismatch_raises():
+    import jax.numpy as jnp
+    import pytest
+
+    from audiorenderingv2_tpu.core import binning
+
+    with pytest.raises(ValueError, match="weight rows"):
+        binning.histogram_sum_banded(jnp.zeros(10, jnp.int32),
+                                     jnp.zeros((6, 1)), 16)
