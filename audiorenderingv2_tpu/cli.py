@@ -51,22 +51,35 @@ def main(argv: list[str] | None = None) -> int:
 
     from . import context as ctx_mod
 
-    ctx = ctx_mod.load_context(args.config)
-
     if args.mode == "walkthrough":
+        # Geometry-only export: load just config + scene — building the
+        # renderer would stage device arrays (and require the audio file)
+        # for an HTML file that needs neither.
+        from pathlib import Path
+
+        from .config import load_config
+        from .scene import load_scene
         from .utils.webview import write_walkthrough_html
 
+        cfg = load_config(args.config)
+        base = Path(args.config).parent
+        scene_path = Path(cfg.scene.scene_file_path)
+        if not scene_path.is_absolute():
+            scene_path = base / scene_path
+        scene = load_scene(scene_path, cfg.pathtracer.materials)
         out = args.export_path
         if out == "output.wav":  # mode-appropriate default
             out = "walkthrough.html"
         write_walkthrough_html(
-            ctx.scene, out,
-            emitter=ctx.config.scene.initial_emitter_pos,
-            receiver=ctx.receiver_pos,
-            receiver_yaw_deg=ctx.receiver_yaw_deg,
+            scene, out,
+            emitter=cfg.scene.initial_emitter_pos,
+            receiver=cfg.scene.initial_receiver_pos,
+            receiver_yaw_deg=0.0,
             audio_wav_path=args.embed_audio)
         print(f"walkthrough {out}")
         return 0
+
+    ctx = ctx_mod.load_context(args.config)
 
     if args.mode == "export":
         ctx_mod.export_audio(ctx, args.export_path)

@@ -155,6 +155,9 @@ def parse_config(data: dict) -> Config:
     s.mono = bool(sp.get("mono", s.mono))
     s.audio_file_path = str(sp.get("audio_file_path", s.audio_file_path))
     s.scene_file_path = str(sp.get("scene_file_path", s.scene_file_path))
+    # Parsed but unused — faithful to the reference, which reads this key
+    # and never consumes it either (SURVEY §5 config note); materials come
+    # from the .obj's own mtllib lines + the config material table.
     s.materials_file_path = str(sp.get("materials_file_path", s.materials_file_path))
     s.initial_receiver_pos = _vec3(sp.get("initial_receiver_pos"), s.initial_receiver_pos)
     s.initial_emitter_pos = _vec3(sp.get("initial_emitter_pos"), s.initial_emitter_pos)
@@ -171,6 +174,13 @@ def parse_config(data: dict) -> Config:
     rays = pp.get("rays")
     if isinstance(rays, dict) and all(k in rays for k in ("x", "y", "z")):
         p.rays = (int(rays["x"]), int(rays["y"]), int(rays["z"]))
+    elif isinstance(rays, (list, tuple)) and len(rays) == 3:
+        # the [x, y, z] list form (the {x,y,z} dict is the reference's
+        # shape; silently ignoring a list would trace the 1M default)
+        p.rays = tuple(int(r) for r in rays)
+    elif rays is not None:
+        raise ValueError(f"pathtracer_parameters.rays must be "
+                         f"{{x,y,z}} or a 3-list, got {rays!r}")
     p.ray_energy_threshold = float(pp.get("ray_energy_threshold", p.ray_energy_threshold))
     p.ray_max_bounces = int(round(float(pp.get("ray_max_bounces", p.ray_max_bounces))))
     p.hrtf_absorption_rate = float(pp.get("hrtf_absorption_rate", p.hrtf_absorption_rate))
@@ -187,6 +197,18 @@ def parse_config(data: dict) -> Config:
             a = tuple(float(x) for x in a) if isinstance(a, list) else float(a)
             parsed.append(MaterialSpec(name=str(m["name"]), mat_absorption=a))
         p.materials = parsed
+    n_bands_needed = len(p.absorption_band_edges) + 1
+    for m in p.materials:
+        if (isinstance(m.mat_absorption, tuple)
+                and len(m.mat_absorption) not in (1, n_bands_needed)):
+            # Caught here, at load time: a mismatched per-band table would
+            # otherwise surface as a cryptic vmap axis error inside the
+            # first jitted convolve (the filterbank splits the dry signal
+            # into len(edges)+1 bands and zips them against the IR bands).
+            raise ValueError(
+                f"material {m.name!r} has {len(m.mat_absorption)} absorption "
+                f"bands but absorption_band_edges defines {n_bands_needed} "
+                f"(len(edges)+1)")
     return cfg
 
 

@@ -126,9 +126,15 @@ class NativeAudioEngine:
             raise RuntimeError(f"cannot open sink {sink_path}")
         self.channels = channels
         self.frames_per_buffer = frames_per_buffer
+        self.ring_capacity = int(ring_capacity)
 
     def add(self, values: np.ndarray) -> None:
         values = np.ascontiguousarray(values, np.float64)
+        if values.shape[0] > self.ring_capacity:
+            # The C++ Add wraps silently past a full ring, stacking later
+            # samples onto earlier slots; mirror NativeRingBuffer's guard.
+            raise ValueError(f"{values.shape[0]} values exceed the ring "
+                             f"capacity {self.ring_capacity}")
         self._lib.ar2_engine_add(self._h, _as_dptr(values), values.shape[0])
 
     def start(self) -> None:
@@ -138,6 +144,9 @@ class NativeAudioEngine:
         self._lib.ar2_engine_stop(self._h)
 
     def drain_ticks(self, ticks: int) -> None:
+        """Synchronously stream ``ticks`` buffers (offline mode). No-op
+        while start()ed — the pacing thread owns the sink then; stop()
+        first."""
         self._lib.ar2_engine_drain_ticks(self._h, ticks)
 
     @property

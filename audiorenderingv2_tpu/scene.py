@@ -104,7 +104,11 @@ def build_scene(mesh: obj_io.MeshData, tri_absorption: np.ndarray,
 
     n = np.cross(e1, e2)  # unnormalized plane normal
     n_len = np.linalg.norm(n, axis=1)
-    degenerate = n_len < 1e-20
+    # Threshold aligned with the barycentric inv_det cutoff below
+    # (det_g == n_len^2, so 1e-30 there is n_len 1e-15): a sliver in
+    # between would keep valid=1 with zeroed bary rows, i.e. u=v=0
+    # passes the inside test EVERYWHERE on its infinite plane.
+    degenerate = n_len < 1e-15
     unit_n = np.where(degenerate[:, None], 0.0, n / np.maximum(n_len, 1e-30)[:, None])
 
     # Barycentric rows from the Gram matrix of (e1, e2):

@@ -60,10 +60,12 @@ const cv = document.getElementById("c"), ctx = cv.getContext("2d");
 let W,H; function resize(){W=cv.width=innerWidth;H=cv.height=innerHeight;}
 addEventListener("resize",resize); resize();
 
-// camera state: position + yaw/pitch. Yaw convention matches the package's
-// receiver head frame (degrees, rotation about +y; scene.py -yaw note).
+// camera state: position + yaw/pitch. The INTERNAL camera yaw w faces
+// (sin w, 0, -cos w); the PACKAGE receiver yaw p faces (cos p, 0, sin p)
+// (cli.py orbit / tracer ear split), so w = p + 90 deg at the data
+// boundary — both on seed and on recorder export below.
 let pos = DATA.receiver ? DATA.receiver.slice() : [0,1.6,4];
-let yaw = DATA.yaw_deg*Math.PI/180, pitch = 0;
+let yaw = DATA.yaw_deg*Math.PI/180 + Math.PI/2, pitch = 0;
 const keys = {};
 addEventListener("keydown",e=>{keys[e.key.toLowerCase()]=true; hot(e);});
 addEventListener("keyup",e=>{keys[e.key.toLowerCase()]=false;});
@@ -110,7 +112,7 @@ function frame(dt){
     if(!rec.times.length||t-rec.times[rec.times.length-1]>0.1){
       rec.times.push(+t.toFixed(3));
       rec.positions.push([+pos[0].toFixed(3),+pos[1].toFixed(3),+pos[2].toFixed(3)]);
-      rec.yaws_deg.push(+(yaw*180/Math.PI).toFixed(2));
+      rec.yaws_deg.push(+(yaw*180/Math.PI-90).toFixed(2));
     }
   }
 
@@ -167,7 +169,7 @@ function frame(dt){
   }
   document.getElementById("hud").textContent=
     `pos ${pos.map(v=>v.toFixed(2)).join("  ")}\n`+
-    `yaw ${(yaw*180/Math.PI).toFixed(1)}°  pitch ${(pitch*180/Math.PI).toFixed(1)}°\n`+
+    `yaw ${(yaw*180/Math.PI-90).toFixed(1)}°  pitch ${(pitch*180/Math.PI).toFixed(1)}°\n`+
     `tris ${NT}  ${rec?(rec.active?"REC ● "+rec.times.length+" pts":"rec paused "+rec.times.length+" pts"):""}`;
 }
 let last=performance.now();

@@ -68,8 +68,11 @@ class AudioEngine {
   }
 
   // Drain whatever is pending (offline mode helper): stream `ticks` buffers
-  // synchronously without the pacing thread.
+  // synchronously without the pacing thread. Refused while the pacing
+  // thread runs: a concurrent Tick would race on scratch_ and the sink
+  // FILE* (call Stop() first).
   void DrainTicks(size_t ticks) {
+    if (running_.load()) return;
     for (size_t i = 0; i < ticks; ++i) Tick();
   }
 
@@ -81,6 +84,11 @@ class AudioEngine {
     const size_t n = static_cast<size_t>(frames_per_buffer_) * channels_;
     if (scratch_.size() < n) scratch_.resize(n);
     ring_.GetAndReset(scratch_.data(), n);
+    // Underrun heuristic: an all-zero drained block. The accumulate-
+    // without-advance ring (CircularBuffer semantics) has no tracked fill
+    // level, so genuine silence in the SOURCE is also counted — treat the
+    // counter as "silent output blocks", meaningful when the dry signal
+    // is known non-silent (as in the duplex bench).
     bool silent = true;
     for (size_t i = 0; i < n; ++i) {
       if (scratch_[i] != 0.0) { silent = false; break; }

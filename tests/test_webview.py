@@ -74,3 +74,24 @@ def test_walkthrough_embeds_audio(tmp_path):
     assert m
     back = base64.b64decode(m.group(1))
     assert back == wav_path.read_bytes()
+
+
+def test_yaw_convention_conversion_present():
+    """The browser camera yaw (faces sin/−cos) and the package receiver
+    yaw (faces cos/sin) differ by 90 degrees; the HTML must convert at
+    BOTH boundaries — camera seed and recorder export (r5 review fix:
+    without it, recorded walks auralized with the head rotated 90 deg)."""
+    import tempfile
+    from pathlib import Path
+
+    from audiorenderingv2_tpu import testing
+    from audiorenderingv2_tpu.utils.webview import write_walkthrough_html
+
+    v, t = testing.box_room((4.0, 3.0, 5.0))
+    scene = testing.scene_from_arrays(v, t, 0.3)
+    with tempfile.TemporaryDirectory() as d:
+        path = Path(d) / "w.html"
+        write_walkthrough_html(scene, path, receiver_yaw_deg=30.0)
+        html = path.read_text()
+    assert "DATA.yaw_deg*Math.PI/180 + Math.PI/2" in html
+    assert "yaw*180/Math.PI-90" in html
