@@ -617,6 +617,14 @@ def render_ir_pose_batch(
         raise ValueError("render_ir_pose_batch is a forward-rendering path "
                          "(hard binning); use render_ir per pose for "
                          "soft_binning gradients")
+    if opts.backend != "pallas" or opts.pallas_version != 2:
+        # This path IS the pallas-v2 fused launch; silently running it for
+        # XLA-configured opts would swap the caller's differentiable/
+        # precision profile with no signal (render_ir_matrix gates this at
+        # its call site, the public function must too).
+        raise ValueError("render_ir_pose_batch requires "
+                         "backend='pallas' with pallas_version=2; render "
+                         "per pose via render_ir for other backends")
     p = emitters.shape[0]
     if pose_indices is None:
         pose_indices = jnp.arange(p, dtype=jnp.uint32)

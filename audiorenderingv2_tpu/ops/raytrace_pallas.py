@@ -80,16 +80,6 @@ _CLUS_ROWS = 8
  _B_PAD6, _B_PAD7) = range(_CLUS_ROWS)
 
 
-def pack_clusters(clusters) -> jax.Array:
-    """Pack accel.ClusterData into the [8, C] row layout."""
-    c = clusters.n_clusters
-    rows = jnp.zeros((_CLUS_ROWS, c), jnp.float32)
-    rows = rows.at[_B_LOX].set(clusters.lo_x).at[_B_LOY].set(clusters.lo_y)
-    rows = rows.at[_B_LOZ].set(clusters.lo_z).at[_B_HIX].set(clusters.hi_x)
-    rows = rows.at[_B_HIY].set(clusters.hi_y).at[_B_HIZ].set(clusters.hi_z)
-    return rows
-
-
 def pack_tris(sc: SceneArrays) -> jax.Array:
     """Pack scene arrays into the [17, T] row layout the kernel consumes."""
     rows = jnp.stack([

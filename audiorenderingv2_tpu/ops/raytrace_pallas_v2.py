@@ -146,6 +146,14 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1, layout: str = "auto",
     absorb = sc.absorption
     if absorb.ndim == 1:
         absorb = absorb[:, None]
+    if absorb.shape[1] not in (1, n_bands) and n_bands > absorb.shape[1]:
+        # Match the XLA tracer: only broadband (1-band) absorption
+        # broadcasts; silently clamping missing bands to the last real
+        # one would render the extra bands with wrong physics while the
+        # same config fails loudly on backend="xla".
+        raise ValueError(f"scene has {absorb.shape[1]} absorption bands "
+                         f"but params ask for {n_bands}; only 1-band "
+                         f"scenes broadcast")
     ab_cols = [absorb[:, min(b, absorb.shape[1] - 1)] for b in range(n_bands)]
     boxes = sc.cluster_boxes
 
@@ -160,7 +168,11 @@ def pack_tris_v2(sc: SceneArrays, n_bands: int = 1, layout: str = "auto",
         # numpy, not jnp: under an outer jit, jnp ops on this concrete
         # closure constant would stage out and return tracers.
         import numpy as np
-        n_valid = int(np.sum(np.asarray(sc.valid) > 0))
+        v = np.asarray(sc.valid) > 0
+        # Trim at the LAST valid index, not the valid COUNT: valid=0 also
+        # marks interior degenerate (sliver) faces, and a count-based trim
+        # would shift the cut and silently drop real tail triangles.
+        n_valid = int(np.max(np.nonzero(v)[0])) + 1 if v.any() else 0
 
     if layout not in ("auto", "rows", "group"):
         raise ValueError(f"layout must be auto|rows|group, got {layout!r}")

@@ -460,3 +460,36 @@ def test_twostage_schedule_superset_and_parity():
                                params, xla_opts()))
     assert a.sum() > 0
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-7)
+
+
+def test_interior_degenerate_triangle_keeps_tail_geometry():
+    """valid=0 also marks interior degenerate faces; the packed-triangle
+    trim must cut at the LAST valid index, not the valid count (r5 review
+    fix: a count trim silently dropped real tail triangles)."""
+    from audiorenderingv2_tpu.ops import raytrace_pallas_v2 as rp2
+
+    v, t = testing.box_room((4.0, 3.0, 5.0))  # 12 tris
+    # inject a degenerate sliver mid-array (all three vertices equal)
+    v = np.concatenate([v, np.zeros((3, 3), np.float32)])
+    n = v.shape[0]
+    t = np.concatenate([t[:6], [[n - 3, n - 2, n - 1]], t[6:]]).astype(
+        np.int32)
+    scene = testing.scene_from_arrays(v, t, 0.3)
+    sc = ar.scene_to_arrays(scene, 128)
+    valid = np.asarray(sc.valid)
+    assert valid[6] == 0.0 and valid[12] == 1.0  # interior hole, real tail
+    rows, _, _ = rp2.pack_tris_v2(sc, 1)
+    # every REAL triangle must survive the trim
+    assert rows.shape[0] >= 13
+    params = ar.TraceParams(sample_rate=SR, ir_length=SR, base_power=3.62,
+                            max_bounces=6)
+    popts = ar.TracerOptions(backend="pallas", pallas_version=2,
+                             pallas_interpret=True)
+    dirs = sampling.sample_directions(jax.random.PRNGKey(2), 256)
+    rec = jnp.array([1.0, 0.5, -0.5], jnp.float32)
+    a = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 0.0, params,
+                               popts))
+    b = np.asarray(ar.trace_ir(sc, dirs, jnp.zeros(3), rec, 0.0, params,
+                               xla_opts()))
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
